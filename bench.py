@@ -1,0 +1,52 @@
+"""Headline benchmark (BASELINE.json:2): generated audio samples/sec/chip
+at 16 kHz, batch 128, on the flagship 2-tier SampleRNN (config 5).
+
+Target: >= 64x realtime aggregate per chip = 1,024,000 samples/sec
+(BASELINE.md). vs_baseline is measured against that target.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+BATCH = 128
+LENGTH = 16_384           # ~1.02 s of 16 kHz audio per lane
+TARGET = 1_024_000.0      # samples/sec/chip (64x realtime aggregate)
+
+
+def main():
+    from samplernn_pase_tpu.config import SampleRNNConfig
+    from samplernn_pase_tpu.models import samplernn
+    from samplernn_pase_tpu import generate as gen
+
+    cfg = SampleRNNConfig(frame_sizes=(16, 4), dim=1024, embed_dim=256,
+                          rnn_type="gru", compute_dtype="bfloat16")
+    params = samplernn.init_params(jax.random.PRNGKey(0), cfg)
+    fn = gen.make_generator(cfg, BATCH, LENGTH, temperature=0.95)
+
+    key = jax.random.PRNGKey(1)
+    out = fn(params, key)            # compile + warmup
+    out.block_until_ready()
+
+    n_rep = 3
+    t0 = time.perf_counter()
+    for i in range(n_rep):
+        out = fn(params, jax.random.PRNGKey(2 + i))
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / n_rep
+
+    sps = BATCH * LENGTH / dt
+    print(json.dumps({
+        "metric": "generated_samples_per_sec_per_chip_b128_16khz",
+        "value": round(sps, 1),
+        "unit": "samples/sec/chip",
+        "vs_baseline": round(sps / TARGET, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,206 @@
+"""CLI — the reference's three public verbs (SURVEY.md §1 L6,
+BASELINE.json:4: "train, extract PASE embeddings, generate").
+
+    python -m samplernn_pase_tpu.cli train    --dataset DIR --exp-dir EXP ...
+    python -m samplernn_pase_tpu.cli extract  --dataset DIR --out DIR ...
+    python -m samplernn_pase_tpu.cli generate --ckpt EXP --out DIR ...
+
+Flags mirror the reference's argparse surface (C18: --frame_sizes,
+--seq_len, --batch_size, --n_rnn, --dim, --q_levels, --lr, PASE cfg/ckpt);
+--config loads a full JSON preset (configs/*.json) and flags override it.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import sys
+from pathlib import Path
+
+import numpy as np
+
+
+def _add_model_flags(p):
+    p.add_argument("--frame_sizes", type=int, nargs="+", default=None)
+    p.add_argument("--dim", type=int, default=None)
+    p.add_argument("--n_rnn", type=int, default=None)
+    p.add_argument("--rnn_type", choices=["gru", "lstm"], default=None)
+    p.add_argument("--q_levels", type=int, default=None)
+    p.add_argument("--embed_dim", type=int, default=None)
+    p.add_argument("--cond_dim", type=int, default=None)
+    p.add_argument("--cond_rate", type=int, default=None)
+
+
+def _override(cfg, args, fields):
+    kw = {f: getattr(args, f) for f in fields
+          if getattr(args, f, None) is not None}
+    if not kw:
+        return cfg
+    if "frame_sizes" in kw:
+        kw["frame_sizes"] = tuple(kw["frame_sizes"])
+    return dataclasses.replace(cfg, **kw)
+
+
+def _load_exp(args):
+    from samplernn_pase_tpu import config as C
+    if args.config:
+        exp = C.load_config(args.config)
+    elif getattr(args, "preset", None):
+        exp = C.preset(args.preset)
+    else:
+        exp = C.ExperimentConfig()
+    model = _override(exp.model, args, [
+        "frame_sizes", "dim", "n_rnn", "rnn_type", "q_levels", "embed_dim",
+        "cond_dim", "cond_rate"])
+    train = _override(exp.train, args, [
+        "batch_size", "seq_len", "lr", "epochs", "seed", "exp_dir"])
+    return dataclasses.replace(exp, model=model, train=train)
+
+
+def cmd_train(args):
+    import jax
+    from samplernn_pase_tpu import config as C
+    from samplernn_pase_tpu.data.dataset import WavCorpus, synthetic_corpus
+    from samplernn_pase_tpu.train import trainer as tr
+    from samplernn_pase_tpu.train.checkpoint import CheckpointManager
+    from samplernn_pase_tpu.train.metrics import MetricsWriter
+    from samplernn_pase_tpu.parallel import make_mesh
+
+    exp = _load_exp(args)
+    tcfg = exp.train
+    if args.dataset:
+        corpus = WavCorpus.from_folder(
+            args.dataset, exp.model.q_levels,
+            cond_dir=args.cond_dir or None)
+    else:
+        print("[train] no --dataset; using synthetic corpus", file=sys.stderr)
+        corpus = synthetic_corpus(q_levels=exp.model.q_levels)
+
+    exp_dir = Path(tcfg.exp_dir)
+    exp_dir.mkdir(parents=True, exist_ok=True)
+    (exp_dir / "config.json").write_text(C.to_json(exp))
+    writer = MetricsWriter(exp_dir / "metrics.jsonl")
+    mgr = CheckpointManager(exp_dir / "ckpt", tcfg.max_to_keep)
+
+    mesh = make_mesh() if len(jax.devices()) > 1 else None
+    plugins = [
+        tr.LoggerPlugin(writer, tcfg.log_every_steps),
+        tr.ValidationPlugin(writer, tcfg.val_every_steps),
+        tr.CheckpointPlugin(mgr, tcfg.ckpt_every_steps),
+    ]
+    if tcfg.generate_every_steps:
+        plugins.append(tr.GeneratorPlugin(
+            exp_dir / "samples", tcfg.generate_every_steps,
+            length=tcfg.generate_length, sample_rate=tcfg.sample_rate))
+    t = tr.Trainer(exp.model, tcfg, corpus, plugins, mesh=mesh)
+    if args.resume:
+        if t.restore(mgr):
+            print(f"[train] resumed at step {t.global_step}",
+                  file=sys.stderr)
+    t.run(args.epochs or tcfg.epochs)
+    writer.close()
+    mgr.close()
+
+
+def cmd_extract(args):
+    import jax
+    from samplernn_pase_tpu.config import PASEConfig
+    from samplernn_pase_tpu.models import pase as pase_mod
+    from samplernn_pase_tpu.extract import extract_to_dir
+
+    cfg = PASEConfig()
+    if args.pase_ckpt:
+        params, bn_state, report = pase_mod.load_torch_pase(
+            args.pase_ckpt, cfg)
+        print(f"[extract] imported {len(report['loaded'])} tensors, "
+              f"skipped {len(report['skipped'])}", file=sys.stderr)
+    else:
+        params, bn_state = pase_mod.init_pase(jax.random.PRNGKey(0), cfg)
+        print("[extract] no --pase-ckpt: random-init encoder",
+              file=sys.stderr)
+    paths = extract_to_dir(params, bn_state, cfg, args.dataset, args.out,
+                           args.batch_size or 16)
+    print(f"[extract] wrote {len(paths)} embedding files to {args.out}",
+          file=sys.stderr)
+
+
+def cmd_generate(args):
+    import jax
+    from samplernn_pase_tpu import config as C
+    from samplernn_pase_tpu import generate as gen
+    from samplernn_pase_tpu.models import samplernn
+    from samplernn_pase_tpu.ops.audio_io import write_wav
+    from samplernn_pase_tpu.train.checkpoint import CheckpointManager
+
+    exp_dir = Path(args.ckpt)
+    exp = C.load_config(exp_dir / "config.json")
+    params = samplernn.init_params(jax.random.PRNGKey(0), exp.model)
+    mgr = CheckpointManager(exp_dir / "ckpt")
+    restored = mgr.restore(template={
+        "params": params,
+        "opt_state": None, "hiddens": None, "cursor": np.zeros(2)})
+    if restored is None:
+        sys.exit(f"no checkpoint under {exp_dir}/ckpt")
+    params = restored["params"]
+    gcfg = exp.generate
+    n = args.n_seqs or gcfg.n_seqs
+    length = args.length or gcfg.length
+    cond = None
+    if args.cond:
+        emb = np.load(args.cond)
+        cond = np.broadcast_to(emb[None], (n, *emb.shape))
+    wav = gen.generate(params, exp.model, n, length,
+                       args.temperature or gcfg.temperature,
+                       jax.random.PRNGKey(args.seed or gcfg.seed),
+                       cond=None if cond is None else np.asarray(cond))
+    out = Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+    for i in range(n):
+        write_wav(out / f"gen_{i:03d}.wav", np.asarray(wav[i]),
+                  gcfg.sample_rate)
+    print(f"[generate] wrote {n} wavs to {out}", file=sys.stderr)
+    mgr.close()
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="samplernn_pase_tpu")
+    sub = p.add_subparsers(dest="verb", required=True)
+
+    pt = sub.add_parser("train")
+    _add_model_flags(pt)
+    pt.add_argument("--config")
+    pt.add_argument("--preset")
+    pt.add_argument("--dataset")
+    pt.add_argument("--cond-dir", dest="cond_dir")
+    pt.add_argument("--exp-dir", dest="exp_dir")
+    pt.add_argument("--batch_size", type=int)
+    pt.add_argument("--seq_len", type=int)
+    pt.add_argument("--lr", type=float)
+    pt.add_argument("--epochs", type=int)
+    pt.add_argument("--seed", type=int)
+    pt.add_argument("--resume", action="store_true")
+    pt.set_defaults(fn=cmd_train)
+
+    pe = sub.add_parser("extract")
+    pe.add_argument("--dataset", required=True)
+    pe.add_argument("--out", required=True)
+    pe.add_argument("--pase-ckpt", dest="pase_ckpt")
+    pe.add_argument("--batch_size", type=int)
+    pe.set_defaults(fn=cmd_extract)
+
+    pg = sub.add_parser("generate")
+    pg.add_argument("--ckpt", required=True, help="experiment dir")
+    pg.add_argument("--out", required=True)
+    pg.add_argument("--n_seqs", type=int)
+    pg.add_argument("--length", type=int)
+    pg.add_argument("--temperature", type=float)
+    pg.add_argument("--seed", type=int)
+    pg.add_argument("--cond", help=".npy PASE embedding for TTS")
+    pg.set_defaults(fn=cmd_generate)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,118 @@
+"""Folder-of-wavs corpus loader (SURVEY.md §2 C3).
+
+Scans a directory for .wav files, mu-law-quantizes each utterance on the
+host, splits train/val deterministically, and hands utterance streams to
+``StreamBatcher`` for TBPTT batch layout.  Optional per-utterance
+conditioning (cached PASE embeddings, C12) rides along.
+
+``synthetic_corpus`` builds a deterministic mixture-of-sines corpus so the
+end-to-end path (and CI) runs without any audio assets — the environment is
+offline and ships no speech data.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from pathlib import Path
+from typing import Sequence
+
+import numpy as np
+
+from samplernn_pase_tpu.ops.audio_io import read_wav
+from samplernn_pase_tpu.ops.framing import StreamBatcher
+from samplernn_pase_tpu.ops import mulaw
+
+import jax
+
+
+def _quantize_host(x: np.ndarray, q_levels: int) -> np.ndarray:
+    # host-side numpy mirror of ops.mulaw.mu_law_encode (same contract)
+    mu = float(q_levels - 1)
+    x = np.clip(x.astype(np.float64), -1.0, 1.0)
+    y = np.sign(x) * np.log1p(mu * np.abs(x)) / np.log1p(mu)
+    lv = np.floor((y + 1.0) * 0.5 * mu + 0.5)
+    return np.clip(lv, 0, q_levels - 1).astype(np.int32)
+
+
+class WavCorpus:
+    """A set of quantized utterances with deterministic train/val split."""
+
+    def __init__(self, utterances: Sequence[np.ndarray], q_levels: int = 256,
+                 sample_rate: int = 16_000, names: Sequence[str] | None = None,
+                 val_frac: float = 0.1,
+                 conditioning: Sequence[np.ndarray] | None = None):
+        self.q_levels = q_levels
+        self.sample_rate = sample_rate
+        self.utterances = [np.asarray(u, np.int32) for u in utterances]
+        self.names = list(names) if names else [
+            f"utt{i:05d}" for i in range(len(utterances))]
+        self.conditioning = conditioning
+        # deterministic split by name hash (stable across runs/machines)
+        self.val_idx = [
+            i for i, n in enumerate(self.names)
+            if int(hashlib.md5(n.encode()).hexdigest(), 16) % 1000
+            < val_frac * 1000]
+        self.train_idx = [i for i in range(len(self.names))
+                          if i not in set(self.val_idx)]
+        if not self.train_idx:  # tiny corpora: train on everything
+            self.train_idx = list(range(len(self.names)))
+
+    @classmethod
+    def from_folder(cls, path, q_levels: int = 256, val_frac: float = 0.1,
+                    cond_dir=None):
+        """Scan `path` for .wav files; optionally pair cached PASE
+        embeddings from `cond_dir` (one .npy per wav, same stem)."""
+        files = sorted(Path(path).glob("**/*.wav"))
+        if not files:
+            raise FileNotFoundError(f"no .wav files under {path}")
+        utts, names, conds, sr_out = [], [], [], None
+        for f in files:
+            x, sr = read_wav(f)
+            sr_out = sr_out or sr
+            utts.append(_quantize_host(x, q_levels))
+            names.append(f.stem)
+            if cond_dir is not None:
+                conds.append(np.load(Path(cond_dir) / f"{f.stem}.npy"))
+        return cls(utts, q_levels, sr_out or 16_000, names, val_frac,
+                   conds if cond_dir is not None else None)
+
+    def _subset(self, idx):
+        utts = [self.utterances[i] for i in idx]
+        conds = ([self.conditioning[i] for i in idx]
+                 if self.conditioning is not None else None)
+        return utts, conds
+
+    def batcher(self, split: str, batch_size: int, seq_len: int,
+                overlap: int, cond_rate: int | None = None) -> StreamBatcher:
+        idx = self.train_idx if split == "train" else self.val_idx
+        if not idx:
+            idx = self.train_idx
+        utts, conds = self._subset(idx)
+        return StreamBatcher(
+            utts, batch_size, seq_len, overlap,
+            q_zero=mulaw.quantize_zero(self.q_levels),
+            conditioning=conds, cond_rate=cond_rate)
+
+
+def synthetic_corpus(n_utts: int = 8, length: int = 32_768,
+                     q_levels: int = 256, sample_rate: int = 16_000,
+                     seed: int = 0) -> WavCorpus:
+    """Deterministic mixture-of-sines corpus (no audio assets needed)."""
+    rng = np.random.default_rng(seed)
+    utts = []
+    t = np.arange(length) / sample_rate
+    for _ in range(n_utts):
+        f0 = rng.uniform(80, 400)
+        x = sum(rng.uniform(0.1, 0.5) * np.sin(2 * np.pi * f0 * (k + 1) * t
+                                               + rng.uniform(0, 2 * np.pi))
+                for k in range(4))
+        x = 0.8 * x / np.max(np.abs(x))
+        utts.append(_quantize_host(x.astype(np.float32), q_levels))
+    return WavCorpus(utts, q_levels, sample_rate)
+
+
+def device_put_batch(chunk, sharding=None):
+    """Host chunk -> device arrays (optionally sharded over 'data')."""
+    if sharding is None:
+        return jax.tree.map(jax.device_put, chunk)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), chunk)

@@ -1,0 +1,154 @@
+"""Batched autoregressive generation (SURVEY.md §2 C17, §3.2; BASELINE
+config 5 "scan-based sampling loop and temperature control").
+
+TPU-first design (SURVEY.md §7 M3, "hard parts"): the reference runs a
+per-sample Python loop that launches many tiny CUDA kernels; here the whole
+decode is ONE ``lax.scan`` over top-tier frames with the inner tiers and
+the ``lookback`` per-sample MLP steps statically unrolled inside the scan
+body.  Consequences:
+
+* zero host<->device round-trips during decode — the only transfer is the
+  final waveform;
+* tier RNNs run exactly once per their frame period (no masked wasted
+  work);
+* per-tier hidden state and the rolling sample-history buffer live
+  on-chip in the scan carry;
+* sampling is Gumbel-max (``jax.random.categorical``) with a temperature
+  divisor, batch-amortized over all lanes.
+
+Batch lanes are independent — under a mesh the lane axis shards over
+``data`` with no collectives in the decode graph (SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from samplernn_pase_tpu.config import SampleRNNConfig
+from samplernn_pase_tpu.models import frame_rnn, sample_mlp, samplernn
+from samplernn_pase_tpu.ops.mulaw import (
+    levels_to_float, mu_law_decode, quantize_zero)
+
+
+def _tier_states_step(params, cfg, hist, states, k, upper_vec, ext_vec):
+    """Run tier k one step from the rolling history; return cond rows."""
+    span = cfg.tier_spans[k]
+    frame = levels_to_float(hist[:, -span:], cfg.q_levels)
+    cond_rows, new_state = frame_rnn.tier_step(
+        params["tiers"][k], frame, upper_vec, ext_vec, states[k],
+        frame_size=cfg.frame_sizes[k], rnn_type=cfg.rnn_type,
+        compute_dtype=jnp.dtype(cfg.compute_dtype))
+    states = states[:k] + (new_state,) + states[k + 1:]
+    return cond_rows, states
+
+
+def _ext_cond_vec(cond, pos, cond_rate):
+    """cond [B, Nc, D] -> the conditioning vector active at sample `pos`."""
+    if cond is None:
+        return None
+    idx = jnp.clip(pos // cond_rate, 0, cond.shape[1] - 1)
+    return jax.lax.dynamic_index_in_dim(cond, idx, axis=1, keepdims=False)
+
+
+def _decode_tier(params, cfg, k, hist, states, key, pos, cond, upper_vec,
+                 out):
+    """Recursively decode one tier-k frame's worth of samples.
+
+    hist [B, lookback] rolling history; upper_vec [B, dim] conditioning
+    row from the parent tier (None at the top); out collects [B, f1]
+    sample blocks. pos = global index of the first sample this frame
+    will produce (traced scalar). Returns (hist, states, key).
+    """
+    ext = (_ext_cond_vec(cond, pos, cfg.cond_rate)
+           if cfg.cond_dim else None)
+    # run this tier's RNN one step: conditioning rows for the child
+    cond_rows, states = _tier_states_step(
+        params, cfg, hist, states, k, upper_vec, ext)
+    if k == 0:
+        # innermost: unrolled per-sample MLP + categorical sampling
+        f1 = cfg.frame_sizes[0]
+        new_samples = []
+        keys = jax.random.split(key, f1 + 1)
+        key = keys[0]
+        for i in range(f1):
+            window = hist[:, -f1:]
+            logits = sample_mlp.mlp_step(
+                params["mlp"], window, cond_rows[:, i],
+                jnp.dtype(cfg.compute_dtype))
+            if out["temperature"] is None:
+                sample = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            else:
+                sample = jax.random.categorical(
+                    keys[i + 1], logits / out["temperature"]).astype(
+                        jnp.int32)
+            new_samples.append(sample)
+            hist = jnp.concatenate([hist[:, 1:], sample[:, None]], axis=1)
+        out["blocks"].append(jnp.stack(new_samples, axis=1))  # [B, f1]
+        return hist, states, key
+    # non-bottom tier: recurse into the child tier frame_sizes[k] times
+    child_span = cfg.tier_spans[k - 1]
+    for j in range(cfg.frame_sizes[k]):
+        hist, states, key = _decode_tier(
+            params, cfg, k - 1, hist, states, key,
+            pos + j * child_span, cond, cond_rows[:, j], out)
+    return hist, states, key
+
+
+def generate_levels(params, cfg: SampleRNNConfig, n_seqs: int, length: int,
+                    temperature: float | None = 1.0, key=None, cond=None,
+                    initial_states=None, hist=None):
+    """Generate quantized levels [n_seqs, length] with one fused scan.
+
+    length is rounded up to a multiple of lookback internally and trimmed.
+    temperature=None (or 0) means greedy argmax.
+    """
+    key = key if key is not None else jax.random.PRNGKey(0)
+    if not temperature:
+        temperature = None
+    lookback = cfg.lookback
+    n_steps = -(-length // lookback)
+    top = cfg.n_tiers - 1
+
+    if hist is None:
+        hist = jnp.full((n_seqs, lookback), quantize_zero(cfg.q_levels),
+                        jnp.int32)
+    states0 = (initial_states if initial_states is not None
+               else samplernn.initial_state(params, cfg, n_seqs))
+
+    def body(carry, step_idx):
+        hist, states, key = carry
+        out = {"blocks": [], "temperature": temperature}
+        pos = step_idx * lookback
+        hist, states, key = _decode_tier(
+            params, cfg, top, hist, states, key, pos, cond, None, out)
+        block = jnp.concatenate(out["blocks"], axis=1)  # [B, lookback]
+        return (hist, states, key), block
+
+    (_, _, _), blocks = jax.lax.scan(
+        body, (hist, states0, key), jnp.arange(n_steps))
+    # blocks [n_steps, B, lookback] -> [B, n_steps*lookback]
+    levels = jnp.moveaxis(blocks, 0, 1).reshape(n_seqs, n_steps * lookback)
+    return levels[:, :length]
+
+
+def generate(params, cfg: SampleRNNConfig, n_seqs: int, length: int,
+             temperature: float | None = 1.0, key=None, cond=None):
+    """Generate float waveforms [n_seqs, length] in [-1, 1]."""
+    levels = generate_levels(params, cfg, n_seqs, length, temperature, key,
+                             cond)
+    return mu_law_decode(levels, cfg.q_levels)
+
+
+def make_generator(cfg: SampleRNNConfig, n_seqs: int, length: int,
+                   temperature: float | None = 1.0, conditioned: bool = False):
+    """jit-compiled generator fn (params, key[, cond]) -> levels."""
+    if conditioned:
+        def fn(params, key, cond):
+            return generate_levels(params, cfg, n_seqs, length, temperature,
+                                   key, cond)
+    else:
+        def fn(params, key):
+            return generate_levels(params, cfg, n_seqs, length, temperature,
+                                   key)
+    return jax.jit(fn)

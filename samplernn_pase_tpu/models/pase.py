@@ -1,0 +1,253 @@
+"""PASE waveform encoder (SURVEY.md §2 C8 SincConv front-end, C9 conv
+trunk, C10 pretrained-ckpt import).
+
+TPU-first shape: the SincNet band-pass filter bank is *built in-graph*
+from the learnable (low, band) cutoff parameters each forward pass — a
+[filters, kernel] elementwise construction that XLA fuses — then the whole
+encoder is a chain of strided ``lax.conv_general_dilated`` calls (MXU) with
+BatchNorm+PReLU fused around them.  All convs use SAME padding so the
+total decimation is exactly ``prod(strides)`` (160 by default: 16 kHz ->
+100 Hz embeddings, SURVEY.md §2 C9).
+
+Layout: waveforms are [B, T]; internally NCW ([B, C, T]) which maps well
+onto TPU convolution tiling with C as the lane dimension.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from samplernn_pase_tpu.config import PASEConfig
+from samplernn_pase_tpu.ops import init as winit
+
+
+# ---------------------------------------------------------------- SincConv
+
+def _mel(hz):
+    return 2595.0 * np.log10(1.0 + hz / 700.0)
+
+
+def _inv_mel(mel):
+    return 700.0 * (10.0 ** (mel / 2595.0) - 1.0)
+
+
+def init_sinc(key, cfg: PASEConfig):
+    """Mel-spaced initial cutoffs (SincNet init)."""
+    n = cfg.sinc_filters
+    low_hz = cfg.min_low_hz
+    high_hz = cfg.sample_rate / 2.0 - (cfg.min_low_hz + cfg.min_band_hz)
+    mel_pts = np.linspace(_mel(low_hz), _mel(high_hz), n + 1)
+    hz = _inv_mel(mel_pts)
+    return {
+        "low_hz": jnp.asarray(hz[:-1], jnp.float32),
+        "band_hz": jnp.asarray(np.diff(hz), jnp.float32),
+    }
+
+
+def sinc_filters(params, cfg: PASEConfig):
+    """Build the [filters, kernel] band-pass bank from cutoff params."""
+    k = cfg.sinc_kernel
+    half = (k - 1) // 2
+    sr = cfg.sample_rate
+    low = cfg.min_low_hz + jnp.abs(params["low_hz"])
+    high = jnp.clip(low + cfg.min_band_hz + jnp.abs(params["band_hz"]),
+                    cfg.min_low_hz, sr / 2.0)
+    # time axis (centered), avoid divide-by-zero at n=0
+    n = (jnp.arange(1, half + 1, dtype=jnp.float32)) / sr  # [half]
+    window = 0.54 - 0.46 * jnp.cos(
+        2.0 * jnp.pi * jnp.arange(k, dtype=jnp.float32) / (k - 1))
+    # band-pass = high-lp - low-lp; right half via sin differences
+    f_times_t = 2.0 * jnp.pi * n[None, :]                  # [1, half]
+    right = ((jnp.sin(high[:, None] * f_times_t)
+              - jnp.sin(low[:, None] * f_times_t))
+             / (jnp.pi * n[None, :]))                      # [F, half]
+    center = 2.0 * (high - low)[:, None]                   # [F, 1]
+    filt = jnp.concatenate(
+        [jnp.flip(right, axis=1), center, right], axis=1)  # [F, k]
+    filt = filt * window[None, :]
+    # per-filter peak normalization (keeps activations scale-free)
+    filt = filt / (2.0 * (high - low))[:, None]
+    return filt
+
+
+def sinc_conv(params, x, cfg: PASEConfig):
+    """x [B, T] -> [B, filters, T] (stride 1, SAME)."""
+    filt = sinc_filters(params, cfg).astype(jnp.dtype(cfg.compute_dtype))
+    lhs = x[:, None, :].astype(jnp.dtype(cfg.compute_dtype))  # [B, 1, T]
+    rhs = filt[:, None, :]                                    # [F, 1, k]
+    out = jax.lax.conv_general_dilated(
+        lhs, rhs, window_strides=(1,), padding="SAME",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        preferred_element_type=jnp.float32)
+    return out
+
+
+# ------------------------------------------------------------- conv trunk
+
+def init_conv_block(key, c_in: int, c_out: int, kernel: int):
+    k1, _ = jax.random.split(key)
+    fan_in = c_in * kernel
+    return {
+        "w": winit.lecun_uniform(k1, (c_out, c_in, kernel), fan_in=fan_in),
+        "b": jnp.zeros((c_out,)),
+        "alpha": jnp.full((c_out,), 0.25),   # PReLU slope
+        "bn_scale": jnp.ones((c_out,)),
+        "bn_bias": jnp.zeros((c_out,)),
+    }
+
+
+def init_bn_state(c_out: int):
+    return {"mean": jnp.zeros((c_out,)), "var": jnp.ones((c_out,)),
+            "count": jnp.zeros(())}
+
+
+def conv_block_apply(params, bn_state, x, stride: int, *, train: bool,
+                     compute_dtype, momentum: float = 0.1,
+                     eps: float = 1e-5):
+    """x [B, C_in, T] -> ([B, C_out, T/stride], new_bn_state)."""
+    out = jax.lax.conv_general_dilated(
+        x.astype(compute_dtype), params["w"].astype(compute_dtype),
+        window_strides=(stride,), padding="SAME",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        preferred_element_type=jnp.float32)
+    out = out + params["b"][None, :, None]
+    if train:
+        mean = jnp.mean(out, axis=(0, 2))
+        var = jnp.var(out, axis=(0, 2))
+        new_state = {
+            "mean": (1 - momentum) * bn_state["mean"] + momentum * mean,
+            "var": (1 - momentum) * bn_state["var"] + momentum * var,
+            "count": bn_state["count"] + 1,
+        }
+    else:
+        mean, var = bn_state["mean"], bn_state["var"]
+        new_state = bn_state
+    out = ((out - mean[None, :, None])
+           * jax.lax.rsqrt(var[None, :, None] + eps))
+    out = out * params["bn_scale"][None, :, None] \
+        + params["bn_bias"][None, :, None]
+    # PReLU
+    alpha = params["alpha"][None, :, None]
+    out = jnp.where(out >= 0, out, alpha * out)
+    return out, new_state
+
+
+# ------------------------------------------------------------------ WaveFe
+
+def init_pase(key, cfg: PASEConfig):
+    """Returns (params, bn_state) for the full encoder."""
+    keys = jax.random.split(key, len(cfg.blocks) + 2)
+    params = {"sinc": init_sinc(keys[0], cfg), "blocks": [], "bn_sinc": {
+        "alpha": jnp.full((cfg.sinc_filters,), 0.25),
+        "bn_scale": jnp.ones((cfg.sinc_filters,)),
+        "bn_bias": jnp.zeros((cfg.sinc_filters,)),
+    }}
+    bn_state = {"sinc": init_bn_state(cfg.sinc_filters), "blocks": []}
+    c_in = cfg.sinc_filters
+    for i, (c_out, kernel, _stride) in enumerate(cfg.blocks):
+        params["blocks"].append(
+            init_conv_block(keys[i + 1], c_in, c_out, kernel))
+        bn_state["blocks"].append(init_bn_state(c_out))
+        c_in = c_out
+    params["proj"] = init_conv_block(keys[-1], c_in, cfg.emb_dim, 1)
+    bn_state["proj"] = init_bn_state(cfg.emb_dim)
+    return params, bn_state
+
+
+def _bn_prelu(params, bn_state, x, *, train: bool, momentum=0.1, eps=1e-5):
+    if train:
+        mean = jnp.mean(x, axis=(0, 2))
+        var = jnp.var(x, axis=(0, 2))
+        new_state = {
+            "mean": (1 - momentum) * bn_state["mean"] + momentum * mean,
+            "var": (1 - momentum) * bn_state["var"] + momentum * var,
+            "count": bn_state["count"] + 1,
+        }
+    else:
+        mean, var = bn_state["mean"], bn_state["var"]
+        new_state = bn_state
+    x = (x - mean[None, :, None]) * jax.lax.rsqrt(var[None, :, None] + eps)
+    x = x * params["bn_scale"][None, :, None] + params["bn_bias"][None, :, None]
+    alpha = params["alpha"][None, :, None]
+    return jnp.where(x >= 0, x, alpha * x), new_state
+
+
+def pase_apply(params, bn_state, wav, cfg: PASEConfig, *, train: bool = False):
+    """wav [B, T] float in [-1,1] -> (emb [B, T//decimation, emb_dim],
+    new_bn_state)."""
+    dt = jnp.dtype(cfg.compute_dtype)
+    x = sinc_conv(params["sinc"], wav, cfg)
+    x = jnp.abs(x)  # rectified band energies (SincNet front-end practice)
+    x, bn_sinc = _bn_prelu(params["bn_sinc"], bn_state["sinc"], x,
+                           train=train)
+    new_blocks = []
+    for blk, st, (c_out, kernel, stride) in zip(
+            params["blocks"], bn_state["blocks"], cfg.blocks):
+        x, st2 = conv_block_apply(blk, st, x, stride, train=train,
+                                  compute_dtype=dt)
+        new_blocks.append(st2)
+    x, bn_proj = conv_block_apply(params["proj"], bn_state["proj"], x, 1,
+                                  train=train, compute_dtype=dt)
+    new_state = {"sinc": bn_sinc, "blocks": new_blocks, "proj": bn_proj}
+    return jnp.moveaxis(x, 1, 2), new_state  # [B, frames, emb_dim]
+
+
+# --------------------------------------------------- torch ckpt import (C10)
+
+def load_torch_pase(path, cfg: PASEConfig):
+    """Import upstream PASE encoder weights from a torch checkpoint.
+
+    Maps a torch state_dict with SincNet-style keys (low_hz_, band_hz_,
+    per-block conv/bn weights) onto our pytree.  Unknown keys are listed in
+    the returned report; offline environments without a ckpt use random
+    init (SURVEY.md §7 M4).
+    """
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(sd, dict) and "model" in sd:
+        sd = sd["model"]
+    sd = {k: v for k, v in sd.items() if hasattr(v, "numpy")}
+    params, bn_state = init_pase(jax.random.PRNGKey(0), cfg)
+    used = set()
+
+    def grab(*names):
+        for n in names:
+            if n in sd:
+                used.add(n)
+                return jnp.asarray(sd[n].detach().numpy())
+        return None
+
+    low = grab("sinc.low_hz_", "blocks.0.conv.low_hz_")
+    band = grab("sinc.band_hz_", "blocks.0.conv.band_hz_")
+    if low is not None:
+        params["sinc"]["low_hz"] = low.reshape(-1)
+    if band is not None:
+        params["sinc"]["band_hz"] = band.reshape(-1)
+    for i in range(len(cfg.blocks)):
+        w = grab(f"blocks.{i + 1}.conv.weight")
+        if w is None:
+            continue
+        blk = params["blocks"][i]
+        blk["w"] = w
+        b = grab(f"blocks.{i + 1}.conv.bias")
+        if b is not None:
+            blk["b"] = b
+        for ours, theirs in (("bn_scale", "norm.weight"),
+                             ("bn_bias", "norm.bias")):
+            v = grab(f"blocks.{i + 1}.{theirs}")
+            if v is not None:
+                blk[ours] = v
+        for ours, theirs in (("mean", "norm.running_mean"),
+                             ("var", "norm.running_var")):
+            v = grab(f"blocks.{i + 1}.{theirs}")
+            if v is not None:
+                bn_state["blocks"][i][ours] = v
+        a = grab(f"blocks.{i + 1}.act.weight")
+        if a is not None:
+            blk["alpha"] = a
+    report = {"loaded": sorted(used),
+              "skipped": sorted(set(sd) - used)}
+    return params, bn_state, report

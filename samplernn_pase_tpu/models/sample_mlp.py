@@ -1,0 +1,75 @@
+"""Sample-level MLP (SURVEY.md §2 C6): embed the last ``frame_size``
+quantized samples, add bottom-tier conditioning, 2 hidden 1x1 layers, and
+project to q_levels logits.
+
+Teacher-forced form: the sliding-window "embed last f samples at every
+position" is one valid convolution over the embedded sequence (kernel width
+f) — a single large MXU matmul after im2col, which XLA lowers natively.
+Decode-step form (`mlp_step`) processes one position per call and is what
+the generation scan / Pallas kernel uses.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from samplernn_pase_tpu.ops import init as winit
+
+
+def init_sample_mlp(key, frame_size: int, q_levels: int, embed_dim: int,
+                    hidden: int):
+    keys = jax.random.split(key, 5)
+    flat_in = frame_size * embed_dim
+    return {
+        "embed": winit.uniform(keys[0], (q_levels, embed_dim), scale=1.0),
+        # conv(kernel=frame_size) expressed as a flat matmul weight
+        "w_in": winit.lecun_uniform(keys[1], (flat_in, hidden), fan_in=flat_in),
+        "b_in": jnp.zeros((hidden,)),
+        "w_h": winit.lecun_uniform(keys[2], (hidden, hidden), fan_in=hidden),
+        "b_h": jnp.zeros((hidden,)),
+        "w_out": winit.lecun_uniform(keys[3], (hidden, q_levels), fan_in=hidden),
+        "b_out": jnp.zeros((q_levels,)),
+    }
+
+
+def _head(params, x, cond, compute_dtype):
+    """Shared tail: x [.., flat_in] + cond [.., hidden] -> logits f32."""
+    h = jnp.matmul(x.astype(compute_dtype),
+                   params["w_in"].astype(compute_dtype),
+                   preferred_element_type=jnp.float32) + params["b_in"]
+    h = jax.nn.relu(h + cond)
+    h = jax.nn.relu(
+        jnp.matmul(h.astype(compute_dtype), params["w_h"].astype(compute_dtype),
+                   preferred_element_type=jnp.float32) + params["b_h"])
+    return jnp.matmul(h.astype(compute_dtype),
+                      params["w_out"].astype(compute_dtype),
+                      preferred_element_type=jnp.float32) + params["b_out"]
+
+
+def mlp_apply(params, samples, cond, frame_size: int, compute_dtype):
+    """Teacher-forced logits for every position.
+
+    samples [B, T + frame_size - 1] int32 — the levels at positions
+        [t - frame_size, t) for every target t in [0, T).
+    cond    [B, T, hidden] — bottom-tier conditioning per position.
+    returns logits [B, T, q_levels] float32.
+    """
+    b, tw = samples.shape
+    t = tw - frame_size + 1
+    emb = params["embed"][samples]                      # [B, TW, E]
+    # im2col: windows of width frame_size at stride 1, flattened.
+    idx = jnp.arange(t)[:, None] + jnp.arange(frame_size)[None, :]
+    win = emb[:, idx]                                   # [B, T, f, E]
+    win = win.reshape(b, t, frame_size * emb.shape[-1])
+    return _head(params, win, cond, compute_dtype)
+
+
+def mlp_step(params, window, cond_vec, compute_dtype):
+    """One decode step: window [B, frame_size] int32 levels, cond [B, hidden].
+
+    Returns logits [B, q_levels] f32.
+    """
+    b, f = window.shape
+    emb = params["embed"][window].reshape(b, -1)
+    return _head(params, emb, cond_vec, compute_dtype)

@@ -1,0 +1,137 @@
+"""SampleRNN container (SURVEY.md §2 C7, §3.4): wires K frame tiers +
+sample-level MLP, owns per-tier persistent state and reset masking, and
+computes the teacher-forced NLL (C13).
+
+Tier geometry follows the reference convention: ``frame_sizes`` is ordered
+bottom -> top; tier k's step spans ``n_k = prod(frame_sizes[:k+1])`` raw
+samples and consumes the *previous* n_k samples; ``lookback =
+prod(frame_sizes)``.  A training chunk supplies ``lookback`` left-context
+samples plus ``T`` target positions with ``T % lookback == 0``.
+
+External (PASE) conditioning arrives at ``cond_rate`` samples/frame and is
+index-gathered to each tier's frame rate (nearest-previous-frame), so no
+divisibility constraint between cond_rate and tier spans is needed
+(SURVEY.md §2 C12).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from samplernn_pase_tpu.config import SampleRNNConfig
+from samplernn_pase_tpu.models import frame_rnn, sample_mlp
+from samplernn_pase_tpu.ops.framing import frame_signal
+from samplernn_pase_tpu.ops.mulaw import levels_to_float
+
+Params = dict
+State = tuple
+
+
+def init_params(key, cfg: SampleRNNConfig) -> Params:
+    keys = jax.random.split(key, cfg.n_tiers + 1)
+    tiers = []
+    for k in range(cfg.n_tiers):
+        tiers.append(frame_rnn.init_frame_tier(
+            keys[k],
+            span=cfg.tier_spans[k],
+            frame_size=cfg.frame_sizes[k],
+            dim=cfg.dim,
+            n_rnn=cfg.n_rnn,
+            rnn_type=cfg.rnn_type,
+            cond_dim=cfg.cond_dim,
+            learn_h0=cfg.learn_h0,
+        ))
+    # MLP hidden width must equal `dim`: bottom-tier conditioning is added
+    # directly onto the first hidden layer (reference behavior, §3.4).
+    mlp = sample_mlp.init_sample_mlp(
+        keys[-1], cfg.frame_sizes[0], cfg.q_levels, cfg.embed_dim, cfg.dim)
+    return {"tiers": tiers, "mlp": mlp}
+
+
+def initial_state(params: Params, cfg: SampleRNNConfig, batch: int) -> State:
+    return tuple(
+        frame_rnn.tier_initial_state(
+            params["tiers"][k], batch, cfg.dim, cfg.n_rnn, cfg.rnn_type)
+        for k in range(cfg.n_tiers))
+
+
+def reset_state(params: Params, cfg: SampleRNNConfig, state: State,
+                resets) -> State:
+    """Zero (to the learned h0) the state of lanes whose reset flag is set.
+
+    resets: bool/int [B]. TBPTT truncation itself is implicit: state flows
+    out of the jitted step and back in, cutting the gradient (the JAX
+    analogue of the reference's hidden.detach()).
+    """
+    init = initial_state(params, cfg, resets.shape[0])
+    out = []
+    for s, s0 in zip(state, init):
+        mask = resets.astype(s.dtype)
+        # state axes: [n_rnn, (2,)? B, H] — batch is axis -2
+        shape = [1] * s.ndim
+        shape[-2] = resets.shape[0]
+        mask = mask.reshape(shape)
+        out.append(s0 * mask + s * (1.0 - mask))
+    return tuple(out)
+
+
+def cond_index(n_frames: int, span: int, cond_rate: int):
+    """Frame j of a tier with step `span` reads cond frame (j*span)//rate."""
+    return (jnp.arange(n_frames) * span) // cond_rate
+
+
+def _tier_ext_cond(cond, n_frames: int, span: int, cond_rate: int):
+    if cond is None:
+        return None
+    idx = jnp.clip(cond_index(n_frames, span, cond_rate), 0,
+                   cond.shape[1] - 1)
+    return cond[:, idx]
+
+
+def forward(params: Params, cfg: SampleRNNConfig, inputs, state: State,
+            cond=None):
+    """Teacher-forced forward pass.
+
+    inputs [B, lookback + T] int32 levels; cond [B, T//cond_rate, cond_dim]
+    or None.  Returns (logits [B, T, q_levels] f32, new_state).
+    """
+    dt = jnp.dtype(cfg.compute_dtype)
+    lookback = cfg.lookback
+    t = inputs.shape[1] - lookback
+    if t % lookback:
+        raise ValueError(f"T={t} must be a multiple of lookback={lookback}")
+
+    x_float = levels_to_float(inputs, cfg.q_levels)
+    upper = None
+    new_states: list[Any] = [None] * cfg.n_tiers
+    for k in range(cfg.n_tiers - 1, -1, -1):
+        span = cfg.tier_spans[k]
+        n_frames = t // span
+        frames = frame_signal(
+            x_float[:, lookback - span: lookback - span + t], span)
+        ext = _tier_ext_cond(cond, n_frames, span, cfg.cond_rate)
+        upper, new_states[k] = frame_rnn.tier_apply(
+            params["tiers"][k], frames, upper, ext, state[k],
+            frame_size=cfg.frame_sizes[k], rnn_type=cfg.rnn_type,
+            compute_dtype=dt)
+
+    f1 = cfg.frame_sizes[0]
+    mlp_samples = inputs[:, lookback - f1: lookback + t - 1]
+    logits = sample_mlp.mlp_apply(params["mlp"], mlp_samples, upper, f1, dt)
+    return logits, tuple(new_states)
+
+
+def nll_bits(logits, targets):
+    """Cross-entropy in bits/sample (C13; 'NLL parity', BASELINE.json:2)."""
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    ll = jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    return -jnp.mean(ll) / jnp.log(2.0)
+
+
+def loss_fn(params: Params, cfg: SampleRNNConfig, batch_inputs,
+            batch_targets, state: State, cond=None):
+    logits, new_state = forward(params, cfg, batch_inputs, state, cond)
+    return nll_bits(logits, batch_targets), new_state

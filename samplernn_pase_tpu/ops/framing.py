@@ -1,0 +1,150 @@
+"""Framing / TBPTT chunking (SURVEY.md §2 C2; BASELINE.json:4
+"framing/overlap preprocessing", "TBPTT over batched waveform chunks").
+
+Two halves:
+
+* Device side — ``frame_signal``: a reshape-view of a sample stream into
+  non-overlapping frames (free under XLA), used by the frame tiers.
+* Host side — ``chunk_for_tbptt`` + ``StreamBatcher``: split utterances
+  into ``seq_len``-sample training chunks, each carrying ``overlap``
+  ( = model lookback) samples of left context, and lay batches out so that
+  lane ``b`` always sees *consecutive* chunks of the same utterance stream
+  — the invariant that lets per-tier hidden state carry across TBPTT steps.
+  ``reset[b]`` is 1 exactly when lane ``b`` starts a new utterance stream.
+
+Host half is plain NumPy by design: it runs on CPU feeding the device, and
+its outputs are static-shape int arrays handed to ``jax.device_put`` with a
+batch sharding (SURVEY.md §1 L2 mapping).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, NamedTuple, Sequence
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def frame_signal(x, frame_size: int):
+    """[..., T] -> [..., T // frame_size, frame_size]; T must divide evenly."""
+    t = x.shape[-1]
+    if t % frame_size != 0:
+        raise ValueError(f"length {t} not divisible by frame_size {frame_size}")
+    return jnp.reshape(x, (*x.shape[:-1], t // frame_size, frame_size))
+
+
+class TBPTTChunk(NamedTuple):
+    """One training batch for one TBPTT step.
+
+    inputs:  int32 [B, overlap + seq_len] — quantized levels; the first
+             ``overlap`` samples are left context (lookback).
+    targets: int32 [B, seq_len]           — inputs shifted by one, i.e.
+             the levels at positions [overlap, overlap + seq_len).
+    resets:  bool  [B]                    — lane starts a fresh stream; the
+             trainer zeros that lane's hidden state.
+    """
+
+    inputs: np.ndarray
+    targets: np.ndarray
+    resets: np.ndarray
+
+
+def chunk_for_tbptt(
+    stream: np.ndarray, seq_len: int, overlap: int
+) -> list[tuple[np.ndarray, np.ndarray]]:
+    """Split one quantized utterance stream into (input, target) chunks.
+
+    The stream is prepended with ``overlap`` silence-level samples is NOT
+    done here — callers pad (see StreamBatcher, which seeds each stream
+    with q_zero context, matching the reference's q_zero seeding).
+    Trailing samples that do not fill a chunk are dropped.
+    """
+    chunks = []
+    n = (len(stream) - overlap) // seq_len
+    for i in range(n):
+        start = i * seq_len
+        window = stream[start : start + overlap + seq_len]
+        chunks.append((window, window[overlap:]))
+    return chunks
+
+
+class StreamBatcher:
+    """Batch-of-streams TBPTT iterator (C2 + the batch-layout part of C3).
+
+    Concatenates utterances round-robin into ``batch_size`` independent
+    streams, then yields aligned TBPTT chunks: step k of the iterator is
+    chunk k of every lane.  reset[b] is True on the first chunk of each
+    utterance assigned to lane b, so hidden state is zeroed exactly at
+    utterance boundaries while carrying across chunks inside an utterance.
+
+    Each utterance is padded on the left with ``overlap`` q_zero samples
+    (generation seeds the same way, SURVEY.md §3.2) and on the right up to
+    a whole number of seq_len chunks with q_zero.
+    """
+
+    def __init__(
+        self,
+        utterances: Sequence[np.ndarray],
+        batch_size: int,
+        seq_len: int,
+        overlap: int,
+        q_zero: int,
+        conditioning: Sequence[np.ndarray] | None = None,
+        cond_rate: int | None = None,
+    ):
+        if conditioning is not None and len(conditioning) != len(utterances):
+            raise ValueError("one conditioning array per utterance required")
+        if conditioning is not None and (cond_rate is None or seq_len % cond_rate):
+            raise ValueError("cond_rate must divide seq_len")
+        self.batch_size = batch_size
+        self.seq_len = seq_len
+        self.overlap = overlap
+        self.q_zero = q_zero
+        self.cond_rate = cond_rate
+        self.cond_dim = conditioning[0].shape[-1] if conditioning is not None else 0
+
+        # lane -> list of (chunk_inputs, chunk_targets, is_first, cond_chunk)
+        self.lanes: list[list] = [[] for _ in range(batch_size)]
+        for u, utt in enumerate(utterances):
+            lane = u % batch_size
+            utt = np.asarray(utt)
+            n_chunks = max(1, int(np.ceil(len(utt) / seq_len)))
+            padded = np.full(overlap + n_chunks * seq_len, q_zero, utt.dtype)
+            padded[overlap : overlap + len(utt)] = utt
+            cond_frames = None
+            if conditioning is not None:
+                per_chunk = seq_len // cond_rate
+                cond_frames = np.zeros(
+                    (n_chunks * per_chunk, self.cond_dim), np.float32
+                )
+                c = np.asarray(conditioning[u], np.float32)
+                cond_frames[: min(len(c), len(cond_frames))] = c[: len(cond_frames)]
+            for k in range(n_chunks):
+                window = padded[k * seq_len : k * seq_len + overlap + seq_len]
+                cond_k = None
+                if cond_frames is not None:
+                    per_chunk = seq_len // cond_rate
+                    cond_k = cond_frames[k * per_chunk : (k + 1) * per_chunk]
+                self.lanes[lane].append((window, window[overlap:], k == 0, cond_k))
+
+    def __len__(self) -> int:
+        return min(len(lane) for lane in self.lanes) if self.batch_size else 0
+
+    def __iter__(self) -> Iterator[TBPTTChunk]:
+        n_steps = len(self)
+        for k in range(n_steps):
+            inputs = np.stack([self.lanes[b][k][0] for b in range(self.batch_size)])
+            targets = np.stack([self.lanes[b][k][1] for b in range(self.batch_size)])
+            resets = np.array(
+                [self.lanes[b][k][2] for b in range(self.batch_size)], bool
+            )
+            chunk = TBPTTChunk(
+                inputs.astype(np.int32), targets.astype(np.int32), resets
+            )
+            if self.cond_dim:
+                cond = np.stack(
+                    [self.lanes[b][k][3] for b in range(self.batch_size)]
+                )
+                yield chunk, cond
+            else:
+                yield chunk

@@ -1,0 +1,290 @@
+"""TBPTT trainer + plugin system (SURVEY.md §2 C14; §3.1 call stack).
+
+The hot loop is one jitted ``train_step`` per TBPTT chunk:
+
+* per-lane reset masking happens on-device inside the step;
+* per-tier hidden states are donated buffers that never leave the chip
+  between steps — passing them out of jit and back in is the gradient
+  truncation point (the JAX analogue of the reference's
+  ``hidden.detach()``, SURVEY.md §3.1);
+* under a multi-chip mesh the batch / hiddens are sharded over ``data``
+  and parameters are replicated; XLA inserts the psum gradient reduction
+  over ICI (SURVEY.md §5 'Distributed communication backend').
+
+Plugins mirror the reference's trainer hooks: loss logging, periodic
+validation, checkpoint saving (best + latest), periodic audio generation.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from samplernn_pase_tpu.config import SampleRNNConfig, TrainConfig
+from samplernn_pase_tpu.models import samplernn
+from samplernn_pase_tpu.train.optim import make_optimizer
+from samplernn_pase_tpu.train.metrics import MetricsWriter
+
+
+def make_train_step(cfg: SampleRNNConfig, tx: optax.GradientTransformation):
+    """Build the jitted TBPTT train step.
+
+    Signature: (params, opt_state, hiddens, inputs, targets, resets[, cond])
+    -> (params, opt_state, hiddens, nll_bits).  params/opt_state/hiddens
+    are donated: the updated pytrees reuse the same device buffers.
+    """
+
+    def step(params, opt_state, hiddens, inputs, targets, resets, cond=None):
+        hiddens = samplernn.reset_state(params, cfg, hiddens, resets)
+
+        def loss(p):
+            return samplernn.loss_fn(p, cfg, inputs, targets, hiddens, cond)
+
+        (nll, new_h), grads = jax.value_and_grad(loss, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, new_h, nll
+
+    return jax.jit(step, donate_argnums=(0, 1, 2))
+
+
+def make_eval_step(cfg: SampleRNNConfig):
+    def step(params, hiddens, inputs, targets, resets, cond=None):
+        hiddens = samplernn.reset_state(params, cfg, hiddens, resets)
+        nll, new_h = samplernn.loss_fn(
+            params, cfg, inputs, targets, hiddens, cond)
+        return new_h, nll
+
+    return jax.jit(step, donate_argnums=(1,))
+
+
+class Plugin:
+    """Trainer hook interface (C14). All hooks optional."""
+
+    def on_train_start(self, trainer):  # noqa: D102
+        pass
+
+    def on_step(self, trainer, step: int, metrics: dict):
+        pass
+
+    def on_epoch_end(self, trainer, epoch: int):
+        pass
+
+    def on_train_end(self, trainer):
+        pass
+
+
+class LoggerPlugin(Plugin):
+    def __init__(self, writer: MetricsWriter, every: int = 10):
+        self.writer, self.every = writer, every
+
+    def on_step(self, trainer, step, metrics):
+        if step % self.every == 0:
+            self.writer.write(step=step, split="train", **metrics)
+
+    def on_epoch_end(self, trainer, epoch):
+        self.writer.write(epoch=epoch, event="epoch_end")
+
+
+class ValidationPlugin(Plugin):
+    def __init__(self, writer: MetricsWriter, every_steps: int = 500):
+        self.writer, self.every = writer, every_steps
+
+    def on_step(self, trainer, step, metrics):
+        if self.every and step > 0 and step % self.every == 0:
+            nll = trainer.validate()
+            trainer.last_val_nll = nll
+            self.writer.write(step=step, split="val", nll_bits=nll)
+
+    def on_epoch_end(self, trainer, epoch):
+        nll = trainer.validate()
+        trainer.last_val_nll = nll
+        self.writer.write(epoch=epoch, split="val", nll_bits=nll)
+
+
+class CheckpointPlugin(Plugin):
+    def __init__(self, manager, every_steps: int = 500):
+        self.mgr, self.every = manager, every_steps
+
+    def _save(self, trainer, step):
+        self.mgr.save(
+            step, trainer.params, trainer.opt_state, trainer.hiddens,
+            cursor=np.asarray([trainer.epoch, trainer.batch_idx]),
+            metrics={"val_nll_bits": float(trainer.last_val_nll)}
+            if trainer.last_val_nll is not None else {})
+
+    def on_step(self, trainer, step, metrics):
+        if self.every and step > 0 and step % self.every == 0:
+            self._save(trainer, step)
+
+    def on_train_end(self, trainer):
+        self._save(trainer, trainer.global_step)
+        self.mgr.wait()
+
+
+class GeneratorPlugin(Plugin):
+    """Periodically writes generated wavs, like the reference's
+    per-epoch sample generation (C14/C17)."""
+
+    def __init__(self, out_dir, every_steps: int, n_seqs: int = 2,
+                 length: int = 16_000, sample_rate: int = 16_000,
+                 temperature: float = 1.0):
+        from pathlib import Path
+        self.dir = Path(out_dir)
+        self.dir.mkdir(parents=True, exist_ok=True)
+        self.every, self.n, self.length = every_steps, n_seqs, length
+        self.sr, self.temp = sample_rate, temperature
+
+    def _generate(self, trainer, tag):
+        from samplernn_pase_tpu import generate as gen
+        from samplernn_pase_tpu.ops.audio_io import write_wav
+        wav = gen.generate(
+            trainer.params, trainer.model_cfg, n_seqs=self.n,
+            length=self.length, temperature=self.temp,
+            key=jax.random.PRNGKey(trainer.global_step))
+        for i in range(self.n):
+            write_wav(self.dir / f"{tag}_seq{i}.wav",
+                      np.asarray(wav[i]), self.sr)
+
+    def on_step(self, trainer, step, metrics):
+        if self.every and step > 0 and step % self.every == 0:
+            self._generate(trainer, f"step{step:08d}")
+
+
+class Trainer:
+    """Epoch/step loop over a WavCorpus with TBPTT state plumbing (C14)."""
+
+    def __init__(self, model_cfg: SampleRNNConfig, train_cfg: TrainConfig,
+                 corpus, plugins: Sequence[Plugin] = (), mesh=None,
+                 params=None, key=None):
+        self.model_cfg = model_cfg
+        self.train_cfg = train_cfg
+        self.corpus = corpus
+        self.plugins = list(plugins)
+        self.mesh = mesh
+        key = key if key is not None else jax.random.PRNGKey(train_cfg.seed)
+        self.params = params if params is not None else samplernn.init_params(
+            key, model_cfg)
+        self.tx = make_optimizer(train_cfg.lr, train_cfg.grad_clip)
+        self.opt_state = self.tx.init(self.params)
+        self.hiddens = samplernn.initial_state(
+            self.params, model_cfg, train_cfg.batch_size)
+        self._train_step = make_train_step(model_cfg, self.tx)
+        self._eval_step = make_eval_step(model_cfg)
+        self.global_step = 0
+        self.epoch = 0
+        self.batch_idx = 0
+        self.last_val_nll = None
+        if mesh is not None:
+            from samplernn_pase_tpu.parallel import mesh as pm
+            self.params = jax.device_put(self.params, pm.replicated(mesh))
+            self.opt_state = jax.device_put(
+                self.opt_state, pm.replicated(mesh))
+            self.hiddens = tuple(
+                jax.device_put(h, pm.state_sharding(mesh, h.ndim))
+                for h in self.hiddens)
+
+    # -- data ------------------------------------------------------------
+    def _batcher(self, split):
+        return self.corpus.batcher(
+            split, self.train_cfg.batch_size, self.train_cfg.seq_len,
+            self.model_cfg.lookback,
+            cond_rate=self.model_cfg.cond_rate or None)
+
+    def _put(self, *arrays):
+        if self.mesh is None:
+            return tuple(jnp.asarray(a) for a in arrays)
+        from samplernn_pase_tpu.parallel import mesh as pm
+        return tuple(
+            jax.device_put(a, pm.batch_sharding(self.mesh, np.ndim(a)))
+            for a in arrays)
+
+    @staticmethod
+    def _split_batch(item):
+        if isinstance(item, tuple) and len(item) == 2:
+            chunk, cond = item
+        else:
+            chunk, cond = item, None
+        return chunk, cond
+
+    # -- loops -----------------------------------------------------------
+    def run(self, epochs: int | None = None):
+        epochs = epochs if epochs is not None else self.train_cfg.epochs
+        for p in self.plugins:
+            p.on_train_start(self)
+        samples_per_chunk = (self.train_cfg.batch_size
+                             * self.train_cfg.seq_len)
+        for epoch in range(self.epoch, epochs):
+            self.epoch = epoch
+            for i, item in enumerate(self._batcher("train")):
+                self.batch_idx = i
+                chunk, cond = self._split_batch(item)
+                args = self._put(chunk.inputs, chunk.targets,
+                                 chunk.resets.astype(np.float32))
+                cond_dev = self._put(cond)[0] if cond is not None else None
+                t0 = time.time()
+                if cond_dev is not None:
+                    (self.params, self.opt_state, self.hiddens,
+                     nll) = self._train_step(
+                        self.params, self.opt_state, self.hiddens, *args,
+                        cond_dev)
+                else:
+                    (self.params, self.opt_state, self.hiddens,
+                     nll) = self._train_step(
+                        self.params, self.opt_state, self.hiddens, *args)
+                nll = float(nll)
+                dt = time.time() - t0
+                metrics = {
+                    "nll_bits": nll,
+                    "samples_per_sec": samples_per_chunk / dt,
+                    "frames_per_sec": (samples_per_chunk
+                                       / self.model_cfg.frame_sizes[0] / dt),
+                }
+                for p in self.plugins:
+                    p.on_step(self, self.global_step, metrics)
+                self.global_step += 1
+            for p in self.plugins:
+                p.on_epoch_end(self, epoch)
+        for p in self.plugins:
+            p.on_train_end(self)
+        return self
+
+    def validate(self) -> float:
+        hiddens = samplernn.initial_state(
+            self.params, self.model_cfg, self.train_cfg.batch_size)
+        total, n = 0.0, 0
+        for item in self._batcher("val"):
+            chunk, cond = self._split_batch(item)
+            args = self._put(chunk.inputs, chunk.targets,
+                             chunk.resets.astype(np.float32))
+            cond_dev = self._put(cond)[0] if cond is not None else None
+            if cond_dev is not None:
+                hiddens, nll = self._eval_step(
+                    self.params, hiddens, *args, cond_dev)
+            else:
+                hiddens, nll = self._eval_step(self.params, hiddens, *args)
+            total += float(nll)
+            n += 1
+        return total / max(n, 1)
+
+    # -- resume ----------------------------------------------------------
+    def restore(self, manager) -> bool:
+        template = {"params": self.params, "opt_state": self.opt_state,
+                    "hiddens": list(self.hiddens),
+                    "cursor": np.zeros(2)}
+        restored = manager.restore(template=template)
+        if restored is None:
+            return False
+        self.params = restored["params"]
+        self.opt_state = restored["opt_state"]
+        if restored.get("hiddens") is not None:
+            self.hiddens = tuple(restored["hiddens"])
+        if restored.get("cursor") is not None:
+            self.epoch = int(restored["cursor"][0])
+        self.global_step = int(restored["step"])
+        return True

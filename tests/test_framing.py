@@ -1,0 +1,81 @@
+"""C2 framing/TBPTT-layout tests (SURVEY.md §4 'Unit': shape + content
+properties, reset-mask semantics, contiguous-stream batch invariant)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from samplernn_pase_tpu.ops.framing import (
+    frame_signal, chunk_for_tbptt, StreamBatcher)
+
+
+def test_frame_signal_shape_content():
+    x = jnp.arange(24)
+    f = frame_signal(x, 4)
+    assert f.shape == (6, 4)
+    np.testing.assert_array_equal(np.asarray(f[1]), [4, 5, 6, 7])
+    b = jnp.arange(48).reshape(2, 24)
+    fb = frame_signal(b, 8)
+    assert fb.shape == (2, 3, 8)
+
+
+def test_frame_signal_rejects_ragged():
+    with pytest.raises(ValueError):
+        frame_signal(jnp.arange(10), 4)
+
+
+def test_chunk_for_tbptt_overlap_content():
+    stream = np.arange(1000)
+    chunks = chunk_for_tbptt(stream, seq_len=256, overlap=64)
+    assert len(chunks) == 3  # (1000-64)//256
+    for i, (inp, tgt) in enumerate(chunks):
+        assert inp.shape == (320,) and tgt.shape == (256,)
+        # chunk i covers samples [i*256, i*256+320); target drops context
+        np.testing.assert_array_equal(inp, stream[i * 256: i * 256 + 320])
+        np.testing.assert_array_equal(tgt, inp[64:])
+    # consecutive chunks overlap by `overlap` samples
+    np.testing.assert_array_equal(chunks[0][0][-64:], chunks[1][0][:64])
+
+
+def test_stream_batcher_layout_and_resets():
+    # 4 utterances over 2 lanes: lane0 gets utt0,utt2; lane1 gets utt1,utt3
+    utts = [np.full(512, i, np.int32) for i in range(4)]
+    sb = StreamBatcher(utts, batch_size=2, seq_len=256, overlap=64, q_zero=99)
+    steps = list(sb)
+    assert len(steps) == 4  # 2 chunks per utt, 2 utts per lane
+    # step 0: both lanes start fresh
+    np.testing.assert_array_equal(steps[0].resets, [True, True])
+    np.testing.assert_array_equal(steps[1].resets, [False, False])
+    np.testing.assert_array_equal(steps[2].resets, [True, True])
+    # left context of the first chunk is q_zero padding
+    np.testing.assert_array_equal(steps[0].inputs[0][:64], np.full(64, 99))
+    # lane continuity: step1 lane0 context == tail of step0 lane0
+    np.testing.assert_array_equal(
+        steps[1].inputs[0][:64], steps[0].inputs[0][-64:])
+    # lane identity: lane0 carries utt0 then utt2
+    assert steps[0].targets[0][0] == 0 and steps[2].targets[0][0] == 2
+    assert steps[0].targets[1][0] == 1 and steps[2].targets[1][0] == 3
+
+
+def test_stream_batcher_pads_ragged_tail():
+    utts = [np.ones(300, np.int32)]
+    sb = StreamBatcher(utts, batch_size=1, seq_len=256, overlap=64, q_zero=0)
+    steps = list(sb)
+    assert len(steps) == 2
+    # tail beyond 300 samples is q_zero
+    np.testing.assert_array_equal(steps[1].targets[0][300 - 256:], 0)
+
+
+def test_stream_batcher_conditioning_alignment():
+    utts = [np.zeros(640, np.int32)] * 2
+    cond = [np.tile(np.arange(4, dtype=np.float32)[:, None], (1, 8)),
+            np.tile(np.arange(4, 8, dtype=np.float32)[:, None], (1, 8))]
+    sb = StreamBatcher(utts, batch_size=2, seq_len=320, overlap=64,
+                       q_zero=0, conditioning=cond, cond_rate=160)
+    steps = list(sb)
+    assert len(steps) == 2
+    chunk0, c0 = steps[0]
+    assert c0.shape == (2, 2, 8)  # 320/160 = 2 cond frames per chunk
+    assert c0[0, 0, 0] == 0 and c0[0, 1, 0] == 1
+    _, c1 = steps[1]
+    assert c1[0, 0, 0] == 2 and c1[1, 0, 0] == 6

@@ -1,0 +1,105 @@
+"""C17 generation tests (SURVEY.md §4 'Parity / golden'): the fused
+scan-based decode must agree sample-for-sample with the vectorized
+teacher-forced forward pass — the strongest cross-check between the two
+independent implementations of the model math."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from samplernn_pase_tpu.config import SampleRNNConfig
+from samplernn_pase_tpu.models import samplernn
+from samplernn_pase_tpu import generate as gen
+from samplernn_pase_tpu.ops.mulaw import quantize_zero
+
+CFG = SampleRNNConfig(frame_sizes=(4, 2), dim=16, rnn_type="gru",
+                      embed_dim=8, compute_dtype="float32")
+
+
+def test_shapes_and_determinism():
+    params = samplernn.init_params(jax.random.PRNGKey(0), CFG)
+    key = jax.random.PRNGKey(42)
+    lv1 = gen.generate_levels(params, CFG, n_seqs=3, length=40,
+                              temperature=1.0, key=key)
+    lv2 = gen.generate_levels(params, CFG, n_seqs=3, length=40,
+                              temperature=1.0, key=key)
+    assert lv1.shape == (3, 40) and lv1.dtype == jnp.int32
+    np.testing.assert_array_equal(np.asarray(lv1), np.asarray(lv2))
+    assert 0 <= int(lv1.min()) and int(lv1.max()) < CFG.q_levels
+    # different key -> different stream
+    lv3 = gen.generate_levels(params, CFG, n_seqs=3, length=40,
+                              temperature=1.0, key=jax.random.PRNGKey(7))
+    assert not np.array_equal(np.asarray(lv1), np.asarray(lv3))
+
+
+def test_greedy_matches_teacher_forced():
+    """Greedy decode then re-score with the teacher-forced forward: the
+    argmax at every position must reproduce the generated sample."""
+    cfg = CFG
+    params = samplernn.init_params(jax.random.PRNGKey(1), cfg)
+    b, t = 2, cfg.lookback * 4
+    levels = gen.generate_levels(params, cfg, n_seqs=b, length=t,
+                                 temperature=None)
+    inputs = jnp.concatenate(
+        [jnp.full((b, cfg.lookback), quantize_zero(cfg.q_levels), jnp.int32),
+         levels], axis=1)
+    state = samplernn.initial_state(params, cfg, b)
+    logits, _ = samplernn.forward(params, cfg, inputs, state)
+    rescored = jnp.argmax(logits, axis=-1)
+    np.testing.assert_array_equal(np.asarray(rescored), np.asarray(levels))
+
+
+def test_greedy_matches_teacher_forced_3tier_lstm():
+    cfg = SampleRNNConfig(frame_sizes=(2, 2, 2), dim=12, rnn_type="lstm",
+                          n_rnn=2, embed_dim=8, compute_dtype="float32")
+    params = samplernn.init_params(jax.random.PRNGKey(2), cfg)
+    b, t = 2, cfg.lookback * 3
+    levels = gen.generate_levels(params, cfg, n_seqs=b, length=t,
+                                 temperature=None)
+    inputs = jnp.concatenate(
+        [jnp.full((b, cfg.lookback), quantize_zero(cfg.q_levels), jnp.int32),
+         levels], axis=1)
+    state = samplernn.initial_state(params, cfg, b)
+    logits, _ = samplernn.forward(params, cfg, inputs, state)
+    np.testing.assert_array_equal(
+        np.asarray(jnp.argmax(logits, axis=-1)), np.asarray(levels))
+
+
+def test_conditioned_generation():
+    cfg = SampleRNNConfig(frame_sizes=(4, 2), dim=16, embed_dim=8,
+                          cond_dim=6, cond_rate=8, compute_dtype="float32")
+    params = samplernn.init_params(jax.random.PRNGKey(3), cfg)
+    t = cfg.lookback * 4
+    cond_a = jnp.zeros((2, t // cfg.cond_rate, cfg.cond_dim))
+    cond_b = jnp.ones((2, t // cfg.cond_rate, cfg.cond_dim)) * 3.0
+    key = jax.random.PRNGKey(0)
+    lv_a = gen.generate_levels(params, cfg, 2, t, 1.0, key, cond=cond_a)
+    lv_b = gen.generate_levels(params, cfg, 2, t, 1.0, key, cond=cond_b)
+    assert lv_a.shape == (2, t)
+    assert not np.array_equal(np.asarray(lv_a), np.asarray(lv_b))
+
+
+def test_conditioned_greedy_matches_teacher_forced():
+    cfg = SampleRNNConfig(frame_sizes=(4, 2), dim=16, embed_dim=8,
+                          cond_dim=6, cond_rate=8, compute_dtype="float32")
+    params = samplernn.init_params(jax.random.PRNGKey(4), cfg)
+    b, t = 2, cfg.lookback * 4
+    cond = jax.random.normal(jax.random.PRNGKey(5),
+                             (b, t // cfg.cond_rate, cfg.cond_dim))
+    levels = gen.generate_levels(params, cfg, b, t, None, cond=cond)
+    inputs = jnp.concatenate(
+        [jnp.full((b, cfg.lookback), quantize_zero(cfg.q_levels), jnp.int32),
+         levels], axis=1)
+    state = samplernn.initial_state(params, cfg, b)
+    logits, _ = samplernn.forward(params, cfg, inputs, state, cond)
+    np.testing.assert_array_equal(
+        np.asarray(jnp.argmax(logits, axis=-1)), np.asarray(levels))
+
+
+def test_generate_waveform_range():
+    params = samplernn.init_params(jax.random.PRNGKey(0), CFG)
+    wav = gen.generate(params, CFG, n_seqs=2, length=32,
+                       key=jax.random.PRNGKey(0))
+    w = np.asarray(wav)
+    assert w.shape == (2, 32)
+    assert np.all(w >= -1.0) and np.all(w <= 1.0)

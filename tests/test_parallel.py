@@ -1,0 +1,91 @@
+"""Sharding tests on the virtual 8-device CPU mesh (SURVEY.md §4
+'Distributed-without-cluster'): DP train step, sharded generation, and
+the driver-facing dryrun_multichip path."""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from samplernn_pase_tpu.config import SampleRNNConfig
+from samplernn_pase_tpu.models import samplernn
+from samplernn_pase_tpu.parallel import mesh as pm
+from samplernn_pase_tpu.train.optim import make_optimizer
+from samplernn_pase_tpu.train.trainer import make_train_step
+
+CFG = SampleRNNConfig(frame_sizes=(4, 2), dim=16, embed_dim=8,
+                      compute_dtype="float32")
+
+
+def test_eight_cpu_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_dp_train_step_matches_single_device():
+    """Gradient math must be identical sharded vs unsharded."""
+    mesh = pm.make_mesh((8,), ("data",))
+    tx = make_optimizer(1e-2, 1.0)
+    params = samplernn.init_params(jax.random.PRNGKey(0), CFG)
+    b, t = 8, CFG.lookback * 4
+    rng = np.random.default_rng(0)
+    inputs = rng.integers(0, 256, (b, CFG.lookback + t), np.int32)
+    targets = inputs[:, CFG.lookback:]
+    resets = np.ones((b,), np.float32)
+
+    def run(shard):
+        p = jax.tree.map(jnp.asarray, params)
+        opt = tx.init(p)
+        h = samplernn.initial_state(p, CFG, b)
+        x, y, r = (jnp.asarray(inputs), jnp.asarray(targets),
+                   jnp.asarray(resets))
+        if shard:
+            rep = pm.replicated(mesh)
+            p = jax.device_put(p, rep)
+            opt = jax.device_put(opt, rep)
+            h = tuple(jax.device_put(a, pm.state_sharding(mesh, a.ndim))
+                      for a in h)
+            x = jax.device_put(x, pm.batch_sharding(mesh, 2))
+            y = jax.device_put(y, pm.batch_sharding(mesh, 2))
+            r = jax.device_put(r, pm.batch_sharding(mesh, 1))
+        step = make_train_step(CFG, tx)
+        p2, _, h2, nll = step(p, opt, h, x, y, r)
+        return float(nll), jax.tree.leaves(p2)
+
+    nll_s, leaves_s = run(True)
+    nll_u, leaves_u = run(False)
+    assert abs(nll_s - nll_u) < 1e-5
+    for a, b_ in zip(leaves_s, leaves_u):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=1e-5)
+
+
+def test_generation_batch_sharded():
+    """Decode graph with sharded lanes must equal the unsharded decode
+    (lanes are independent: no collectives should change results)."""
+    from samplernn_pase_tpu import generate as gen
+    mesh = pm.make_mesh((8,), ("data",))
+    params = samplernn.init_params(jax.random.PRNGKey(0), CFG)
+    key = jax.random.PRNGKey(3)
+    ref = gen.generate_levels(params, CFG, 8, CFG.lookback * 2,
+                              temperature=None, key=key)
+    p_sh = jax.device_put(params, pm.replicated(mesh))
+    got = gen.generate_levels(p_sh, CFG, 8, CFG.lookback * 2,
+                              temperature=None, key=key)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
+def test_dryrun_multichip_entrypoint():
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    import __graft_entry__ as ge
+    ge.dryrun_multichip(8)
+
+
+def test_entry_compiles():
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    import __graft_entry__ as ge
+    fn, args = ge.entry()
+    nll, state = jax.jit(fn)(*args)
+    assert np.isfinite(float(nll))

@@ -1,0 +1,128 @@
+"""C8-C11 PASE encoder tests: sinc filter bank properties, conv-block
+parity vs torch oracle, decimation bookkeeping, extraction tool."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import torch
+
+from samplernn_pase_tpu.config import PASEConfig
+from samplernn_pase_tpu.models import pase as P
+
+TINY = PASEConfig(
+    sinc_filters=8, sinc_kernel=65,
+    blocks=((8, 10, 4), (16, 5, 2), (16, 5, 2)),
+    emb_dim=12, compute_dtype="float32")
+
+
+def test_decimation():
+    assert TINY.decimation == 16
+    assert PASEConfig().decimation == 160
+
+
+def test_sinc_filters_are_bandpass():
+    params = P.init_sinc(jax.random.PRNGKey(0), TINY)
+    filt = np.asarray(P.sinc_filters(params, TINY))
+    assert filt.shape == (8, 65)
+    # DC rejection: band-pass filters must (nearly) null at 0 Hz
+    dc = np.abs(filt.sum(axis=1))
+    assert np.all(dc < 0.15), dc
+    # peak frequency responses increase with filter index (mel-ordered)
+    freqs = np.fft.rfftfreq(512, 1 / TINY.sample_rate)
+    peaks = []
+    for f in filt:
+        mag = np.abs(np.fft.rfft(f, 512))
+        peaks.append(freqs[np.argmax(mag)])
+    assert all(b >= a for a, b in zip(peaks, peaks[1:])), peaks
+
+
+def test_sinc_conv_shapes():
+    params = P.init_sinc(jax.random.PRNGKey(0), TINY)
+    wav = jnp.asarray(np.random.default_rng(0).normal(size=(2, 256)),
+                      jnp.float32)
+    out = P.sinc_conv(params, wav, TINY)
+    assert out.shape == (2, 8, 256)
+
+
+def test_conv_block_matches_torch():
+    """Conv + BatchNorm(eval) + PReLU vs torch oracle."""
+    c_in, c_out, k, stride, t = 4, 6, 5, 2, 32
+    rng = np.random.default_rng(0)
+    w = rng.normal(size=(c_out, c_in, k)).astype(np.float32) * 0.2
+    b = rng.normal(size=(c_out,)).astype(np.float32)
+    alpha = np.full((c_out,), 0.25, np.float32)
+    scale = rng.uniform(0.5, 1.5, c_out).astype(np.float32)
+    bias = rng.normal(size=(c_out,)).astype(np.float32)
+    mean = rng.normal(size=(c_out,)).astype(np.float32) * 0.1
+    var = rng.uniform(0.5, 2.0, c_out).astype(np.float32)
+    x = rng.normal(size=(3, c_in, t)).astype(np.float32)
+
+    params = {"w": jnp.asarray(w), "b": jnp.asarray(b),
+              "alpha": jnp.asarray(alpha), "bn_scale": jnp.asarray(scale),
+              "bn_bias": jnp.asarray(bias)}
+    st = {"mean": jnp.asarray(mean), "var": jnp.asarray(var),
+          "count": jnp.zeros(())}
+    got, _ = P.conv_block_apply(params, st, jnp.asarray(x), stride,
+                                train=False, compute_dtype=jnp.float32)
+
+    conv = torch.nn.Conv1d(c_in, c_out, k, stride=stride,
+                           padding=k // 2, bias=True)
+    conv.weight.data = torch.from_numpy(w)
+    conv.bias.data = torch.from_numpy(b)
+    bn = torch.nn.BatchNorm1d(c_out).eval()
+    bn.weight.data = torch.from_numpy(scale)
+    bn.bias.data = torch.from_numpy(bias)
+    bn.running_mean.data = torch.from_numpy(mean)
+    bn.running_var.data = torch.from_numpy(var)
+    act = torch.nn.PReLU(c_out)
+    act.weight.data = torch.from_numpy(alpha)
+    with torch.no_grad():
+        want = act(bn(conv(torch.from_numpy(x)))).numpy()
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-4)
+
+
+def test_pase_apply_shapes_and_rate():
+    params, bn_state = P.init_pase(jax.random.PRNGKey(0), TINY)
+    wav = jnp.asarray(np.random.default_rng(1).normal(size=(2, 512)) * 0.1,
+                      jnp.float32)
+    emb, st = P.pase_apply(params, bn_state, wav, TINY, train=False)
+    assert emb.shape == (2, 512 // 16, 12)
+    # train mode updates running stats
+    emb2, st2 = P.pase_apply(params, bn_state, wav, TINY, train=True)
+    assert float(st2["blocks"][0]["count"]) == 1.0
+    assert not np.allclose(np.asarray(st2["blocks"][0]["mean"]),
+                           np.asarray(bn_state["blocks"][0]["mean"]))
+
+
+def test_extract_embeddings_variable_lengths():
+    from samplernn_pase_tpu.extract import extract_embeddings
+    params, bn_state = P.init_pase(jax.random.PRNGKey(0), TINY)
+    rng = np.random.default_rng(2)
+    wavs = [rng.normal(size=n).astype(np.float32) * 0.1
+            for n in (300, 512, 1000, 64)]
+    embs = extract_embeddings(params, bn_state, TINY, wavs, batch_size=2)
+    assert len(embs) == 4
+    for w, e in zip(wavs, embs):
+        assert e.shape[0] == max(len(w) // TINY.decimation, 1)
+        assert e.shape[1] == TINY.emb_dim
+    # padding must not change a clip's own frames (first clip rerun alone)
+    solo = extract_embeddings(params, bn_state, TINY, [wavs[0]],
+                              batch_size=1)[0]
+    np.testing.assert_allclose(solo, embs[0], atol=1e-4)
+
+
+def test_extract_to_dir_roundtrip(tmp_path):
+    from samplernn_pase_tpu.extract import extract_to_dir
+    from samplernn_pase_tpu.ops.audio_io import write_wav
+    rng = np.random.default_rng(3)
+    wav_dir = tmp_path / "wavs"
+    wav_dir.mkdir()
+    for i in range(3):
+        write_wav(wav_dir / f"u{i}.wav",
+                  rng.uniform(-0.5, 0.5, 400 + 100 * i), 16_000)
+    params, bn_state = P.init_pase(jax.random.PRNGKey(0), TINY)
+    paths = extract_to_dir(params, bn_state, TINY, wav_dir,
+                           tmp_path / "emb", batch_size=2)
+    assert len(paths) == 3
+    e0 = np.load(paths[0])
+    assert e0.shape == (400 // 16, 12)
