@@ -66,8 +66,22 @@ def _decode_tier(params, cfg, k, hist, states, key, pos, cond, upper_vec,
     cond_rows, states = _tier_states_step(
         params, cfg, hist, states, k, upper_vec, ext)
     if k == 0:
-        # innermost: unrolled per-sample MLP + categorical sampling
         f1 = cfg.frame_sizes[0]
+        if out["pallas"]:
+            # fused Pallas frame-decode: f1 autoregressive steps with the
+            # sample-MLP weights pinned in VMEM (ops/pallas/decode.py)
+            from samplernn_pase_tpu.ops.pallas.decode import (
+                fused_frame_decode)
+            key, sub = jax.random.split(key)
+            temp = out["temperature"] if out["temperature"] else 0.0
+            samples = fused_frame_decode(
+                hist[:, -f1:], cond_rows, temp, sub, params["mlp"],
+                q_levels=cfg.q_levels,
+                interpret=out["pallas"] == "interpret")
+            out["blocks"].append(samples)
+            hist = jnp.concatenate([hist[:, f1:], samples], axis=1)
+            return hist, states, key
+        # innermost: unrolled per-sample MLP + categorical sampling
         new_samples = []
         keys = jax.random.split(key, f1 + 1)
         key = keys[0]
@@ -97,13 +111,18 @@ def _decode_tier(params, cfg, k, hist, states, key, pos, cond, upper_vec,
 
 def generate_levels(params, cfg: SampleRNNConfig, n_seqs: int, length: int,
                     temperature: float | None = 1.0, key=None, cond=None,
-                    initial_states=None, hist=None):
+                    initial_states=None, hist=None,
+                    use_pallas: bool | str | None = None):
     """Generate quantized levels [n_seqs, length] with one fused scan.
 
     length is rounded up to a multiple of lookback internally and trimmed.
-    temperature=None (or 0) means greedy argmax.
+    temperature=None (or 0) means greedy argmax.  use_pallas: None = auto
+    (Pallas frame-decode kernel on TPU, plain XLA elsewhere); True/False
+    force; "interpret" runs the kernel in interpreter mode (CPU tests).
     """
     key = key if key is not None else jax.random.PRNGKey(0)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
     if not temperature:
         temperature = None
     lookback = cfg.lookback
@@ -118,7 +137,8 @@ def generate_levels(params, cfg: SampleRNNConfig, n_seqs: int, length: int,
 
     def body(carry, step_idx):
         hist, states, key = carry
-        out = {"blocks": [], "temperature": temperature}
+        out = {"blocks": [], "temperature": temperature,
+               "pallas": use_pallas}
         pos = step_idx * lookback
         hist, states, key = _decode_tier(
             params, cfg, top, hist, states, key, pos, cond, None, out)
@@ -133,22 +153,25 @@ def generate_levels(params, cfg: SampleRNNConfig, n_seqs: int, length: int,
 
 
 def generate(params, cfg: SampleRNNConfig, n_seqs: int, length: int,
-             temperature: float | None = 1.0, key=None, cond=None):
+             temperature: float | None = 1.0, key=None, cond=None,
+             use_pallas: bool | str | None = None):
     """Generate float waveforms [n_seqs, length] in [-1, 1]."""
     levels = generate_levels(params, cfg, n_seqs, length, temperature, key,
-                             cond)
+                             cond, use_pallas=use_pallas)
     return mu_law_decode(levels, cfg.q_levels)
 
 
 def make_generator(cfg: SampleRNNConfig, n_seqs: int, length: int,
-                   temperature: float | None = 1.0, conditioned: bool = False):
+                   temperature: float | None = 1.0,
+                   conditioned: bool = False,
+                   use_pallas: bool | str | None = None):
     """jit-compiled generator fn (params, key[, cond]) -> levels."""
     if conditioned:
         def fn(params, key, cond):
             return generate_levels(params, cfg, n_seqs, length, temperature,
-                                   key, cond)
+                                   key, cond, use_pallas=use_pallas)
     else:
         def fn(params, key):
             return generate_levels(params, cfg, n_seqs, length, temperature,
-                                   key)
+                                   key, use_pallas=use_pallas)
     return jax.jit(fn)

@@ -50,9 +50,11 @@ def tier_initial_state(params, batch: int, dim: int, n_rnn: int,
                        rnn_type: str):
     """Per-lane initial state: learned h0 broadcast over batch, or zeros."""
     if "h0" in params:
-        if rnn_type == "gru":
-            return jnp.broadcast_to(params["h0"], (n_rnn, batch, dim))
-        return jnp.broadcast_to(params["h0"], (n_rnn, 2, batch, dim))
+        shape = ((n_rnn, batch, dim) if rnn_type == "gru"
+                 else (n_rnn, 2, batch, dim))
+        # materialize a fresh buffer: the state is donated by the train
+        # step and must never alias params["h0"] (donate-twice error)
+        return jnp.zeros(shape) + params["h0"]
     return rnn_cells.zero_state(batch, dim, n_rnn, rnn_type)
 
 

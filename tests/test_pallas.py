@@ -1,0 +1,94 @@
+"""Pallas kernel tests, run in interpreter mode on CPU (SURVEY.md §4; the
+real-TPU path is exercised by bench.py on the dev chip)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from samplernn_pase_tpu.ops import mulaw
+from samplernn_pase_tpu.ops.pallas import codec as pcodec
+from samplernn_pase_tpu.ops.pallas.decode import fused_frame_decode
+from samplernn_pase_tpu.models import sample_mlp
+from samplernn_pase_tpu.config import SampleRNNConfig
+from samplernn_pase_tpu.models import samplernn
+from samplernn_pase_tpu import generate as gen
+
+
+def _interp(fn, *args, **kw):
+    # route pallas_call through the interpreter on CPU
+    from jax.experimental import pallas as pl  # noqa: F401
+    return fn(*args, interpret=True, **kw)
+
+
+def test_codec_kernels_match_jnp():
+    rng = np.random.default_rng(0)
+    x = rng.uniform(-1.2, 1.2, (8, 4096)).astype(np.float32)
+    from jax.experimental.pallas import tpu as pltpu
+    with pltpu.force_tpu_interpret_mode():
+        got_e = np.asarray(pcodec.mu_law_encode_fused(jnp.asarray(x)))
+        want_e = np.asarray(mulaw.mu_law_encode(x))
+        # interpreter float path may differ at level boundaries only
+        diff = got_e != want_e
+        assert diff.mean() < 1e-3 and np.max(np.abs(got_e - want_e)) <= 1
+        got_d = np.asarray(pcodec.mu_law_decode_fused(jnp.asarray(got_e)))
+        want_d = np.asarray(mulaw.mu_law_decode(got_e))
+        np.testing.assert_allclose(got_d, want_d, atol=1e-6)
+
+
+def test_fused_frame_decode_greedy_matches_reference():
+    """temp=0: kernel must reproduce the plain mlp_step greedy loop.
+
+    bf16 matmuls in the kernel vs f32 reference can flip an argmax only
+    when two logits are within bf16 noise — with random params that is
+    vanishingly unlikely, so we require exact agreement.
+    """
+    f1, q, e, h, b = 4, 256, 16, 32, 8
+    params = sample_mlp.init_sample_mlp(
+        jax.random.PRNGKey(0), f1, q, e, h)
+    rng = np.random.default_rng(1)
+    window = jnp.asarray(rng.integers(0, q, (b, f1), np.int32))
+    cond = jnp.asarray(rng.normal(size=(b, f1, h)).astype(np.float32))
+
+    got = np.asarray(fused_frame_decode(
+        window, cond, 0.0, jax.random.PRNGKey(7), params, q_levels=q,
+        interpret=True))
+
+    # reference: sequential greedy decode with the plain-JAX step
+    win = window
+    want = []
+    for i in range(f1):
+        logits = sample_mlp.mlp_step(params, win, cond[:, i], jnp.float32)
+        s = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        want.append(np.asarray(s))
+        win = jnp.concatenate([win[:, 1:], s[:, None]], axis=1)
+    want = np.stack(want, axis=1)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_fused_frame_decode_sampling_varies_with_seed():
+    f1, q, e, h, b = 4, 256, 16, 32, 8
+    params = sample_mlp.init_sample_mlp(jax.random.PRNGKey(0), f1, q, e, h)
+    rng = np.random.default_rng(2)
+    window = jnp.asarray(rng.integers(0, q, (b, f1), np.int32))
+    cond = jnp.asarray(rng.normal(size=(b, f1, h)).astype(np.float32))
+    s1 = np.asarray(fused_frame_decode(window, cond, 1.0,
+                                       jax.random.PRNGKey(1), params,
+                                       q_levels=q, interpret=True))
+    s2 = np.asarray(fused_frame_decode(window, cond, 1.0,
+                                       jax.random.PRNGKey(2), params,
+                                       q_levels=q, interpret=True))
+    assert not np.array_equal(s1, s2)
+    assert s1.min() >= 0 and s1.max() < q
+
+
+def test_generate_with_pallas_interpret_matches_greedy():
+    """End-to-end: scan + pallas frame decode (interpret) == XLA path."""
+    cfg = SampleRNNConfig(frame_sizes=(4, 2), dim=16, embed_dim=8,
+                          compute_dtype="float32")
+    params = samplernn.init_params(jax.random.PRNGKey(1), cfg)
+    t = cfg.lookback * 3
+    ref = gen.generate_levels(params, cfg, 2, t, temperature=None,
+                              use_pallas=False)
+    got = gen.generate_levels(params, cfg, 2, t, temperature=None,
+                              use_pallas="interpret")
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))

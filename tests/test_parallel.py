@@ -36,7 +36,8 @@ def test_dp_train_step_matches_single_device():
     resets = np.ones((b,), np.float32)
 
     def run(shard):
-        p = jax.tree.map(jnp.asarray, params)
+        # fresh buffers each call: the step donates params/opt/hiddens
+        p = jax.tree.map(lambda a: jnp.array(a, copy=True), params)
         opt = tx.init(p)
         h = samplernn.initial_state(p, CFG, b)
         x, y, r = (jnp.asarray(inputs), jnp.asarray(targets),

@@ -24,16 +24,24 @@ def test_sinc_filters_are_bandpass():
     params = P.init_sinc(jax.random.PRNGKey(0), TINY)
     filt = np.asarray(P.sinc_filters(params, TINY))
     assert filt.shape == (8, 65)
-    # DC rejection: band-pass filters must (nearly) null at 0 Hz
-    dc = np.abs(filt.sum(axis=1))
-    assert np.all(dc < 0.15), dc
-    # peak frequency responses increase with filter index (mel-ordered)
-    freqs = np.fft.rfftfreq(512, 1 / TINY.sample_rate)
+    low = TINY.min_low_hz + np.abs(np.asarray(params["low_hz"]))
+    high = np.clip(low + TINY.min_band_hz
+                   + np.abs(np.asarray(params["band_hz"])),
+                   TINY.min_low_hz, TINY.sample_rate / 2)
+    freqs = np.fft.rfftfreq(1024, 1 / TINY.sample_rate)
     peaks = []
-    for f in filt:
-        mag = np.abs(np.fft.rfft(f, 512))
-        peaks.append(freqs[np.argmax(mag)])
+    for i, f in enumerate(filt):
+        mag = np.abs(np.fft.rfft(f, 1024))
+        pk = freqs[np.argmax(mag)]
+        peaks.append(pk)
+        # peak response inside (a windowing-widened) passband
+        assert 0.4 * low[i] <= pk <= 1.3 * high[i], (i, pk, low[i], high[i])
+    # mel-ordered: peak frequencies increase with filter index
     assert all(b >= a for a, b in zip(peaks, peaks[1:])), peaks
+    # high filters resolve well at kernel=65: strong DC rejection there
+    dc = np.abs(filt.sum(axis=1))
+    mx = np.array([np.abs(np.fft.rfft(f, 1024)).max() for f in filt])
+    assert np.all(dc[4:] / mx[4:] < 0.05), dc / mx
 
 
 def test_sinc_conv_shapes():
@@ -65,8 +73,14 @@ def test_conv_block_matches_torch():
     got, _ = P.conv_block_apply(params, st, jnp.asarray(x), stride,
                                 train=False, compute_dtype=jnp.float32)
 
-    conv = torch.nn.Conv1d(c_in, c_out, k, stride=stride,
-                           padding=k // 2, bias=True)
+    # replicate XLA SAME padding explicitly (stride-2 SAME pads (1, 2)
+    # for k=5, unlike torch's symmetric padding=k//2)
+    out_t = -(-t // stride)
+    pad_total = max((out_t - 1) * stride + k - t, 0)
+    lo, hi = pad_total // 2, pad_total - pad_total // 2
+    xt = torch.nn.functional.pad(torch.from_numpy(x), (lo, hi))
+    conv = torch.nn.Conv1d(c_in, c_out, k, stride=stride, padding=0,
+                           bias=True)
     conv.weight.data = torch.from_numpy(w)
     conv.bias.data = torch.from_numpy(b)
     bn = torch.nn.BatchNorm1d(c_out).eval()
@@ -77,7 +91,7 @@ def test_conv_block_matches_torch():
     act = torch.nn.PReLU(c_out)
     act.weight.data = torch.from_numpy(alpha)
     with torch.no_grad():
-        want = act(bn(conv(torch.from_numpy(x)))).numpy()
+        want = act(bn(conv(xt))).numpy()
     np.testing.assert_allclose(np.asarray(got), want, atol=2e-4)
 
 
