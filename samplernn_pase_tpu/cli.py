@@ -82,7 +82,9 @@ def cmd_train(args):
     writer = MetricsWriter(exp_dir / "metrics.jsonl")
     mgr = CheckpointManager(exp_dir / "ckpt", tcfg.max_to_keep)
 
-    mesh = make_mesh() if len(jax.devices()) > 1 else None
+    ndev = len(jax.devices())
+    mesh = (make_mesh() if ndev > 1 and tcfg.batch_size % ndev == 0
+            else None)
     plugins = [
         tr.LoggerPlugin(writer, tcfg.log_every_steps),
         tr.ValidationPlugin(writer, tcfg.val_every_steps),
@@ -128,17 +130,13 @@ def cmd_generate(args):
     import jax
     from samplernn_pase_tpu import config as C
     from samplernn_pase_tpu import generate as gen
-    from samplernn_pase_tpu.models import samplernn
     from samplernn_pase_tpu.ops.audio_io import write_wav
     from samplernn_pase_tpu.train.checkpoint import CheckpointManager
 
     exp_dir = Path(args.ckpt)
     exp = C.load_config(exp_dir / "config.json")
-    params = samplernn.init_params(jax.random.PRNGKey(0), exp.model)
     mgr = CheckpointManager(exp_dir / "ckpt")
-    restored = mgr.restore(template={
-        "params": params,
-        "opt_state": None, "hiddens": None, "cursor": np.zeros(2)})
+    restored = mgr.restore()
     if restored is None:
         sys.exit(f"no checkpoint under {exp_dir}/ckpt")
     params = restored["params"]

@@ -87,6 +87,10 @@ class WavCorpus:
         idx = self.train_idx if split == "train" else self.val_idx
         if not idx:
             idx = self.train_idx
+        if len(idx) < batch_size:
+            # recycle utterances so every batch lane has a stream
+            idx = (idx * (-(-batch_size // len(idx))))[:max(
+                batch_size, len(idx))]
         utts, conds = self._subset(idx)
         return StreamBatcher(
             utts, batch_size, seq_len, overlap,

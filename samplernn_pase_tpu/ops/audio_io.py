@@ -31,4 +31,5 @@ def read_wav(path) -> tuple[np.ndarray, int]:
 def write_wav(path, x: np.ndarray, sample_rate: int = DEFAULT_SAMPLE_RATE) -> None:
     """Write a float waveform in [-1, 1] as int16 PCM."""
     x = np.clip(np.asarray(x, np.float32), -1.0, 1.0)
-    wavfile.write(path, sample_rate, (x * 32767.0).astype(np.int16))
+    wavfile.write(path, sample_rate,
+                  np.round(x * 32767.0).astype(np.int16))

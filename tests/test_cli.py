@@ -1,0 +1,72 @@
+"""L6 CLI end-to-end: the reference's three verbs against a tiny wav
+corpus in a temp dir (SURVEY.md §3 call stacks)."""
+
+import json
+import numpy as np
+import pytest
+
+from samplernn_pase_tpu.ops.audio_io import write_wav, read_wav
+
+
+@pytest.fixture()
+def wav_dir(tmp_path):
+    d = tmp_path / "wavs"
+    d.mkdir()
+    rng = np.random.default_rng(0)
+    t = np.arange(4096) / 16_000
+    for i in range(3):
+        x = 0.5 * np.sin(2 * np.pi * (150 + 60 * i) * t)
+        x += 0.05 * rng.normal(size=t.size)
+        write_wav(d / f"utt{i}.wav", np.clip(x, -1, 1), 16_000)
+    return d
+
+
+def test_audio_io_roundtrip(tmp_path):
+    x = np.linspace(-0.9, 0.9, 1000).astype(np.float32)
+    write_wav(tmp_path / "a.wav", x, 16_000)
+    y, sr = read_wav(tmp_path / "a.wav")
+    assert sr == 16_000
+    np.testing.assert_allclose(y, x, atol=1e-4)
+
+
+def test_cli_train_then_generate(wav_dir, tmp_path):
+    from samplernn_pase_tpu import cli
+    exp = tmp_path / "exp"
+    cli.main([
+        "train", "--dataset", str(wav_dir), "--exp-dir", str(exp),
+        "--frame_sizes", "4", "2", "--dim", "16", "--embed_dim", "8",
+        "--batch_size", "2", "--seq_len", "256", "--epochs", "1",
+    ])
+    assert (exp / "config.json").exists()
+    metrics = [json.loads(l) for l in
+               (exp / "metrics.jsonl").read_text().splitlines()]
+    assert any("nll_bits" in m for m in metrics)
+
+    out = tmp_path / "gen"
+    cli.main(["generate", "--ckpt", str(exp), "--out", str(out),
+              "--n_seqs", "2", "--length", "128", "--temperature", "0.9"])
+    wavs = sorted(out.glob("*.wav"))
+    assert len(wavs) == 2
+    y, sr = read_wav(wavs[0])
+    assert sr == 16_000 and len(y) == 128
+
+
+def test_cli_extract(wav_dir, tmp_path):
+    from samplernn_pase_tpu import cli
+    out = tmp_path / "emb"
+    cli.main(["extract", "--dataset", str(wav_dir), "--out", str(out),
+              "--batch_size", "2"])
+    files = sorted(out.glob("*.npy"))
+    assert len(files) == 3
+    e = np.load(files[0])
+    assert e.ndim == 2 and e.shape[0] == 4096 // 160
+
+
+def test_cli_resume(wav_dir, tmp_path):
+    from samplernn_pase_tpu import cli
+    exp = tmp_path / "exp"
+    args = ["train", "--dataset", str(wav_dir), "--exp-dir", str(exp),
+            "--frame_sizes", "4", "2", "--dim", "16", "--embed_dim", "8",
+            "--batch_size", "2", "--seq_len", "256", "--epochs", "1"]
+    cli.main(args)
+    cli.main(args + ["--resume"])  # must restore without error
