@@ -28,16 +28,20 @@ def main():
     params = samplernn.init_params(jax.random.PRNGKey(0), cfg)
     fn = gen.make_generator(cfg, BATCH, LENGTH, temperature=0.95)
 
-    key = jax.random.PRNGKey(1)
-    out = fn(params, key)            # compile + warmup
-    out.block_until_ready()
+    # scalar-reduction sync: on this box's tunnel backend,
+    # block_until_ready can return before device work completes, and a
+    # full host transfer adds tunnel latency; a dependent jitted sum
+    # forces completion and moves only 4 bytes.
+    sync = jax.jit(lambda x: jnp.sum(x))
+    float(sync(fn(params, jax.random.PRNGKey(1))))   # compile + warmup
 
     n_rep = 3
-    t0 = time.perf_counter()
+    times = []
     for i in range(n_rep):
-        out = fn(params, jax.random.PRNGKey(2 + i))
-    out.block_until_ready()
-    dt = (time.perf_counter() - t0) / n_rep
+        t0 = time.perf_counter()
+        float(sync(fn(params, jax.random.PRNGKey(2 + i))))
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
 
     sps = BATCH * LENGTH / dt
     print(json.dumps({

@@ -62,6 +62,30 @@ def _decode_tier(params, cfg, k, hist, states, key, pos, cond, upper_vec,
     """
     ext = (_ext_cond_vec(cond, pos, cfg.cond_rate)
            if cfg.cond_dim else None)
+    if k == 0 and out["pallas"] and cfg.rnn_type == "gru" and cfg.n_rnn == 1:
+        # mega-kernel: tier-0 GRU + upsample + f1 MLP steps in one
+        # pallas call (weights + cond rows never leave VMEM)
+        from samplernn_pase_tpu.ops.pallas.decode import (
+            fused_tier_frame_decode)
+        f1 = cfg.frame_sizes[0]
+        b = hist.shape[0]
+        up = (upper_vec if upper_vec is not None
+              else jnp.zeros((b, cfg.dim)))
+        if ext is not None:
+            dt = jnp.dtype(cfg.compute_dtype)
+            up = up + jnp.matmul(
+                ext.astype(dt), params["tiers"][0]["w_cond"].astype(dt),
+                preferred_element_type=jnp.float32)
+        key, sub = jax.random.split(key)
+        temp = out["temperature"] if out["temperature"] else 0.0
+        samples, h_new = fused_tier_frame_decode(
+            hist[:, -f1:], up, states[0][0], temp, sub,
+            params["tiers"][0], params["mlp"], q_levels=cfg.q_levels,
+            interpret=out["pallas"] == "interpret")
+        states = (h_new[None],) + states[1:]
+        out["blocks"].append(samples)
+        hist = jnp.concatenate([hist[:, f1:], samples], axis=1)
+        return hist, states, key
     # run this tier's RNN one step: conditioning rows for the child
     cond_rows, states = _tier_states_step(
         params, cfg, hist, states, k, upper_vec, ext)

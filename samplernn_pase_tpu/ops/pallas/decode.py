@@ -28,12 +28,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _onehot_embed(levels_2d, embed, n_levels):
-    """levels [R, C] int32 -> rows of `embed` [R*C, E] via one-hot matmul."""
-    r, c = levels_2d.shape
-    flat = levels_2d.reshape(r * c, 1)
-    ids = jax.lax.broadcasted_iota(jnp.int32, (r * c, n_levels), 1)
-    onehot = (flat == ids).astype(embed.dtype)
+def _embed_col(levels_col, embed, n_levels):
+    """levels [B, 1] int32 -> embed rows [B, E] via one-hot matmul.
+
+    Column-at-a-time keeps every intermediate a natural (sublane, lane)
+    tile — Mosaic cannot shape-cast across the tile boundary, so the
+    batched [B*f1] flattening form does not compile.
+    """
+    b = levels_col.shape[0]
+    ids = jax.lax.broadcasted_iota(jnp.int32, (b, n_levels), 1)
+    onehot = (levels_col == ids).astype(embed.dtype)
     return jnp.dot(onehot, embed, preferred_element_type=jnp.float32)
 
 
@@ -45,9 +49,10 @@ def _kernel(f1, q_levels, temp_ref, window_ref, cond_ref, noise_ref,
     temp = temp_ref[0]
 
     embed = embed_ref[:]
-    # initial embedded window [B, f1*E]
-    emb_win = _onehot_embed(window_ref[:], embed, q_levels)
-    emb_win = emb_win.reshape(b, f1 * e).astype(w_in_ref.dtype)
+    # initial embedded window [B, f1*E], one column at a time
+    emb_win = jnp.concatenate(
+        [_embed_col(window_ref[:, j:j + 1], embed, q_levels)
+         for j in range(f1)], axis=1).astype(w_in_ref.dtype)
 
     cols = []
     for i in range(f1):
@@ -59,14 +64,130 @@ def _kernel(f1, q_levels, temp_ref, window_ref, cond_ref, noise_ref,
             + b_h_ref[:], 0.0).astype(w_out_ref.dtype)
         logits = jnp.dot(h, w_out_ref[:],
                          preferred_element_type=jnp.float32) + b_out_ref[:]
-        sample = jnp.argmax(logits + temp * noise_ref[i],
-                            axis=-1).astype(jnp.int32)
+        sample = jnp.argmax(logits + temp * noise_ref[i], axis=-1,
+                            keepdims=True).astype(jnp.int32)   # [B, 1]
         cols.append(sample)
         # embed the new sample and roll the window
-        new_emb = _onehot_embed(sample.reshape(b, 1), embed, q_levels)
-        new_emb = new_emb.reshape(b, e).astype(emb_win.dtype)
+        new_emb = _embed_col(sample, embed, q_levels).astype(emb_win.dtype)
         emb_win = jnp.concatenate([emb_win[:, e:], new_emb], axis=1)
-    out_ref[:] = jnp.stack(cols, axis=1)
+    out_ref[:] = jnp.concatenate(cols, axis=1)
+
+
+def _tier_frame_kernel(f1, q_levels, temp_ref, window_ref, upper_ref,
+                       h_ref, noise_ref, wf_ref, bf_ref, wih_ref, bih_ref,
+                       whh_ref, bhh_ref, wup_ref, bup_ref, embed_ref,
+                       w_in_ref, b_in_ref, w_h_ref, b_h_ref, w_out_ref,
+                       b_out_ref, out_ref, hout_ref):
+    """Whole bottom-tier frame step in VMEM: GRU cell + lazy learned
+    upsampling + f1 fused MLP decode steps (see fused_tier_frame_decode).
+    """
+    b = window_ref.shape[0]
+    e = embed_ref.shape[1]
+    hdim = h_ref.shape[1]
+    temp = temp_ref[0]
+    embed = embed_ref[:]
+
+    # ---- bottom-tier GRU step (cuDNN gate order r,z,n; f32 gates) ----
+    q_half = jnp.float32(q_levels / 2.0)
+    frame_f = window_ref[:].astype(jnp.float32) / q_half - 1.0
+    x = jnp.dot(frame_f.astype(wf_ref.dtype), wf_ref[:],
+                preferred_element_type=jnp.float32) + bf_ref[:]
+    x = x + upper_ref[:]
+    xg = jnp.dot(x.astype(wih_ref.dtype), wih_ref[:],
+                 preferred_element_type=jnp.float32) + bih_ref[:]
+    h_prev = h_ref[:]
+    hg = jnp.dot(h_prev.astype(whh_ref.dtype), whh_ref[:],
+                 preferred_element_type=jnp.float32) + bhh_ref[:]
+    xr, xz, xn = xg[:, :hdim], xg[:, hdim:2 * hdim], xg[:, 2 * hdim:]
+    hr, hz, hn = hg[:, :hdim], hg[:, hdim:2 * hdim], hg[:, 2 * hdim:]
+    r = jax.nn.sigmoid(xr + hr)
+    z = jax.nn.sigmoid(xz + hz)
+    n = jnp.tanh(xn + r * hn)
+    h_new = (1.0 - z) * n + z * h_prev
+    hout_ref[:] = h_new
+    h_bf = h_new.astype(wup_ref.dtype)
+
+    # ---- f1 fused decode steps; cond row i computed lazily from h ----
+    emb_win = jnp.concatenate(
+        [_embed_col(window_ref[:, j:j + 1], embed, q_levels)
+         for j in range(f1)], axis=1).astype(w_in_ref.dtype)
+    cols = []
+    for i in range(f1):
+        cond_i = jnp.dot(h_bf, wup_ref[:, i * hdim:(i + 1) * hdim],
+                         preferred_element_type=jnp.float32) \
+            + bup_ref[i:i + 1, :]
+        xm = jnp.dot(emb_win, w_in_ref[:],
+                     preferred_element_type=jnp.float32) + b_in_ref[:]
+        hm = jnp.maximum(xm + cond_i, 0.0).astype(w_h_ref.dtype)
+        hm = jnp.maximum(
+            jnp.dot(hm, w_h_ref[:], preferred_element_type=jnp.float32)
+            + b_h_ref[:], 0.0).astype(w_out_ref.dtype)
+        logits = jnp.dot(hm, w_out_ref[:],
+                         preferred_element_type=jnp.float32) + b_out_ref[:]
+        sample = jnp.argmax(logits + temp * noise_ref[i], axis=-1,
+                            keepdims=True).astype(jnp.int32)
+        cols.append(sample)
+        new_emb = _embed_col(sample, embed, q_levels).astype(emb_win.dtype)
+        emb_win = jnp.concatenate([emb_win[:, e:], new_emb], axis=1)
+    out_ref[:] = jnp.concatenate(cols, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("q_levels", "interpret"))
+def fused_tier_frame_decode(window, upper_cond, h_prev, temperature, key,
+                            tier_params, mlp_params, *,
+                            q_levels: int = 256, interpret: bool = False):
+    """One FULL bottom-tier frame in a single kernel: the tier-0 GRU step,
+    the learned x f1 upsampling (computed lazily, one cond row per decode
+    step, straight from VMEM), and the f1 autoregressive MLP sample steps.
+
+    Versus fused_frame_decode this also keeps the [B, f1, H] conditioning
+    tensor entirely on-chip (saves ~2 x 8 MB of HBM round-trip per frame
+    at dim 1024) and loads the GRU + upsample weights once per frame.
+    Requires rnn_type='gru', n_rnn=1 (the flagship config); other configs
+    use the smaller kernel + XLA tier step.
+
+    window [B, f1] int32; upper_cond [B, H] f32 (tier-1 conditioning row);
+    h_prev [B, H] f32.  Returns (samples [B, f1] int32, h_new [B, H] f32).
+    """
+    b, f1 = window.shape
+    hdim = h_prev.shape[1]
+    wt = jnp.bfloat16
+    rnn = tier_params["rnn"][0]
+    noise = jax.random.gumbel(key, (f1, b, q_levels), jnp.float32)
+    args = (
+        jnp.asarray(temperature, jnp.float32).reshape(1),
+        window.astype(jnp.int32),
+        upper_cond.astype(jnp.float32),
+        h_prev.astype(jnp.float32),
+        noise,
+        tier_params["w_in"].astype(wt),
+        tier_params["b_in"].astype(jnp.float32).reshape(1, hdim),
+        rnn["w_ih"].astype(wt),
+        rnn["b_ih"].astype(jnp.float32).reshape(1, 3 * hdim),
+        rnn["w_hh"].astype(wt),
+        rnn["b_hh"].astype(jnp.float32).reshape(1, 3 * hdim),
+        tier_params["w_up"].astype(wt),
+        tier_params["b_up"].astype(jnp.float32),
+        mlp_params["embed"].astype(wt),
+        mlp_params["w_in"].astype(wt),
+        mlp_params["b_in"].astype(jnp.float32).reshape(1, hdim),
+        mlp_params["w_h"].astype(wt),
+        mlp_params["b_h"].astype(jnp.float32).reshape(1, hdim),
+        mlp_params["w_out"].astype(wt),
+        mlp_params["b_out"].astype(jnp.float32).reshape(1, q_levels),
+    )
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_tier_frame_kernel, f1, q_levels),
+        out_shape=(jax.ShapeDtypeStruct((b, f1), jnp.int32),
+                   jax.ShapeDtypeStruct((b, hdim), jnp.float32)),
+        in_specs=[smem] + [vmem] * 19,
+        out_specs=(vmem, vmem),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*args)
 
 
 @functools.partial(jax.jit, static_argnames=("q_levels", "interpret"))

@@ -82,7 +82,10 @@ def test_fused_frame_decode_sampling_varies_with_seed():
 
 
 def test_generate_with_pallas_interpret_matches_greedy():
-    """End-to-end: scan + pallas frame decode (interpret) == XLA path."""
+    """End-to-end: scan + pallas mega-kernel (interpret) == XLA path.
+
+    (gru/n_rnn=1 configs route through fused_tier_frame_decode.)
+    """
     cfg = SampleRNNConfig(frame_sizes=(4, 2), dim=16, embed_dim=8,
                           compute_dtype="float32")
     params = samplernn.init_params(jax.random.PRNGKey(1), cfg)
@@ -91,4 +94,31 @@ def test_generate_with_pallas_interpret_matches_greedy():
                               use_pallas=False)
     got = gen.generate_levels(params, cfg, 2, t, temperature=None,
                               use_pallas="interpret")
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
+def test_generate_pallas_small_kernel_path_lstm():
+    """lstm configs use the smaller fused_frame_decode kernel path."""
+    cfg = SampleRNNConfig(frame_sizes=(4, 2), dim=16, embed_dim=8,
+                          rnn_type="lstm", compute_dtype="float32")
+    params = samplernn.init_params(jax.random.PRNGKey(2), cfg)
+    t = cfg.lookback * 2
+    ref = gen.generate_levels(params, cfg, 2, t, temperature=None,
+                              use_pallas=False)
+    got = gen.generate_levels(params, cfg, 2, t, temperature=None,
+                              use_pallas="interpret")
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
+def test_generate_pallas_conditioned_matches_greedy():
+    cfg = SampleRNNConfig(frame_sizes=(4, 2), dim=16, embed_dim=8,
+                          cond_dim=6, cond_rate=8, compute_dtype="float32")
+    params = samplernn.init_params(jax.random.PRNGKey(3), cfg)
+    t = cfg.lookback * 3
+    cond = jax.random.normal(jax.random.PRNGKey(4),
+                             (2, t // cfg.cond_rate, cfg.cond_dim))
+    ref = gen.generate_levels(params, cfg, 2, t, temperature=None,
+                              cond=cond, use_pallas=False)
+    got = gen.generate_levels(params, cfg, 2, t, temperature=None,
+                              cond=cond, use_pallas="interpret")
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
