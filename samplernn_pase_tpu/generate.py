@@ -133,6 +133,59 @@ def _decode_tier(params, cfg, k, hist, states, key, pos, cond, upper_vec,
     return hist, states, key
 
 
+def _full_kernel_eligible(cfg, cond, use_pallas, temperature):
+    """Route to the whole-generation megakernel (ops/pallas/megagen.py)?"""
+    if cond is not None or cfg.cond_dim:
+        return False
+    if cfg.n_tiers != 2 or cfg.rnn_type != "gru" or cfg.n_rnn != 1:
+        return False
+    if use_pallas in (True, "full"):
+        return True
+    # interpreter mode lacks the on-core PRNG: greedy only
+    return use_pallas == "interpret" and temperature is None
+
+
+def _generate_full(params, cfg, n_seqs, length, temperature, key, hist,
+                   initial_states, interpret):
+    """Whole-generation megakernel path, chunked to bound the VMEM
+    output buffer (64 top frames = 4096 samples per call at B=128)."""
+    from samplernn_pase_tpu.ops.pallas.megagen import generate_full_pallas
+
+    lookback = cfg.lookback
+    n_top = -(-length // lookback)
+    states = (initial_states if initial_states is not None
+              else samplernn.initial_state(params, cfg, n_seqs))
+    h0, h1 = states[0][0], states[1][0]
+    window = (hist if hist is not None
+              else jnp.full((n_seqs, lookback),
+                            quantize_zero(cfg.q_levels), jnp.int32))
+    chunk_top = max(1, min(n_top, (8 << 20) // (n_seqs * lookback * 4)))
+    blocks = []
+    done = 0
+    c = 0
+    while done < n_top:
+        step_top = min(chunk_top, n_top - done)
+        sub = jax.random.fold_in(key, c)
+        seed = jax.random.randint(sub, (), 0, jnp.iinfo(jnp.int32).max,
+                                  dtype=jnp.int32)
+        blocks3d, h0, h1 = generate_full_pallas(
+            window, h0, h1,
+            0.0 if temperature is None else temperature, seed,
+            params["tiers"][0], params["tiers"][1], params["mlp"],
+            n_top=step_top, q_levels=cfg.q_levels,
+            deterministic=temperature is None, interpret=interpret)
+        # [n_top, B, lookback] -> [B, n_top*lookback]
+        samples = jnp.moveaxis(blocks3d, 0, 1).reshape(
+            n_seqs, step_top * lookback)
+        blocks.append(samples)
+        window = samples[:, -lookback:]
+        done += step_top
+        c += 1
+    levels = blocks[0] if len(blocks) == 1 else jnp.concatenate(blocks,
+                                                                axis=1)
+    return levels[:, :length]
+
+
 def generate_levels(params, cfg: SampleRNNConfig, n_seqs: int, length: int,
                     temperature: float | None = 1.0, key=None, cond=None,
                     initial_states=None, hist=None,
@@ -149,6 +202,11 @@ def generate_levels(params, cfg: SampleRNNConfig, n_seqs: int, length: int,
         use_pallas = jax.default_backend() == "tpu"
     if not temperature:
         temperature = None
+    if use_pallas and _full_kernel_eligible(cfg, cond, use_pallas,
+                                            temperature):
+        return _generate_full(params, cfg, n_seqs, length, temperature,
+                              key, hist, initial_states,
+                              interpret=use_pallas == "interpret")
     lookback = cfg.lookback
     n_steps = -(-length // lookback)
     top = cfg.n_tiers - 1

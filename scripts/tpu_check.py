@@ -1,0 +1,67 @@
+"""Real-TPU correctness smoke (run manually: `python scripts/tpu_check.py`).
+
+CI tests force the CPU platform (tests/conftest.py), so this script is the
+hardware check: greedy megakernel decode == greedy XLA decode == argmax of
+the teacher-forced forward, on the actual chip, flagship config.
+"""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from samplernn_pase_tpu.config import SampleRNNConfig
+from samplernn_pase_tpu.models import samplernn
+from samplernn_pase_tpu import generate as gen
+from samplernn_pase_tpu.ops.mulaw import quantize_zero
+
+
+def main():
+    assert jax.default_backend() != "cpu", "run on the TPU box"
+    cfg = SampleRNNConfig(frame_sizes=(16, 4), dim=256, embed_dim=64,
+                          rnn_type="gru", compute_dtype="bfloat16")
+    params = samplernn.init_params(jax.random.PRNGKey(0), cfg)
+    b, t = 8, cfg.lookback * 8
+
+    mega = np.asarray(gen.generate_levels(
+        params, cfg, b, t, temperature=None, use_pallas="full"))
+    xla = np.asarray(gen.generate_levels(
+        params, cfg, b, t, temperature=None, use_pallas=False))
+    frame = np.asarray(gen.generate_levels(
+        params, cfg, b, t, temperature=None, use_pallas=True))
+
+    agree_mx = (mega == xla).mean()
+    agree_fx = (frame == xla).mean()
+    print(f"mega vs xla agreement:  {agree_mx:.4f}")
+    print(f"frame vs xla agreement: {agree_fx:.4f}")
+    # bf16 matmuls in kernels vs f32-accum XLA: identical argmax expected
+    # except at near-ties; once one flips, streams diverge — so compare
+    # prefix agreement instead of full equality.
+    def prefix(a, b_):
+        neq = (a != b_).any(axis=0)
+        idx = np.argmax(neq) if neq.any() else t
+        return idx
+
+    print(f"mega  first divergence at sample {prefix(mega, xla)}/{t}")
+    print(f"frame first divergence at sample {prefix(frame, xla)}/{t}")
+
+    # rescore megakernel output with the teacher-forced forward pass:
+    # every generated sample must be the argmax of its own logits
+    inputs = jnp.concatenate(
+        [jnp.full((b, cfg.lookback), quantize_zero(cfg.q_levels),
+                  jnp.int32), jnp.asarray(mega)], axis=1)
+    state = samplernn.initial_state(params, cfg, b)
+    logits, _ = samplernn.forward(params, cfg, inputs, state)
+    rescored = np.asarray(jnp.argmax(logits, axis=-1))
+    agree_self = (rescored == mega).mean()
+    print(f"mega self-consistency (rescore argmax): {agree_self:.4f}")
+    assert agree_self > 0.97, agree_self
+    print("TPU check OK")
+
+
+if __name__ == "__main__":
+    main()
