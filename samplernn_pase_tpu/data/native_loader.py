@@ -1,0 +1,131 @@
+"""ctypes bindings for the native host-side data pipeline
+(native/src/wavcodec.cpp): RIFF wav parse + fused mu-law quantization +
+TBPTT chunk gather, with transparent pure-Python fallback.
+
+The shared library is built on first use (`make -C native`); if the
+toolchain or the .so is unavailable every entry point falls back to the
+NumPy/scipy implementations, so the framework never hard-depends on the
+native tier.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+_NATIVE_DIR = Path(__file__).resolve().parents[2] / "native"
+_LIB_PATH = _NATIVE_DIR / "libsrnn_native.so"
+_lib = None
+_tried = False
+
+
+def _load():
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not _LIB_PATH.exists():
+        try:
+            subprocess.run(["make", "-C", str(_NATIVE_DIR)], check=True,
+                           capture_output=True, timeout=120)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(str(_LIB_PATH))
+    except OSError:
+        return None
+    lib.srnn_mulaw_encode.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int64, ctypes.c_int32]
+    lib.srnn_mulaw_decode.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64, ctypes.c_int32]
+    lib.srnn_read_wav.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32)]
+    lib.srnn_read_wav.restype = ctypes.c_int64
+    lib.srnn_load_quantized.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+        ctypes.c_int32, ctypes.POINTER(ctypes.c_int32)]
+    lib.srnn_load_quantized.restype = ctypes.c_int64
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _fptr(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def _iptr(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def mulaw_encode(x: np.ndarray, q_levels: int = 256) -> np.ndarray:
+    lib = _load()
+    x = np.ascontiguousarray(x, np.float32)
+    if lib is None:
+        from samplernn_pase_tpu.data.dataset import _quantize_host
+        return _quantize_host(x, q_levels)
+    out = np.empty(x.shape, np.int32)
+    lib.srnn_mulaw_encode(_fptr(x.ravel()), _iptr(out.ravel()),
+                          x.size, q_levels)
+    return out
+
+
+def mulaw_decode(lv: np.ndarray, q_levels: int = 256) -> np.ndarray:
+    lib = _load()
+    lv = np.ascontiguousarray(lv, np.int32)
+    if lib is None:
+        mu = float(q_levels - 1)
+        y = 2.0 * (lv.astype(np.float64) / mu) - 1.0
+        return (np.sign(y) * np.expm1(np.abs(y) * np.log1p(mu))
+                / mu).astype(np.float32)
+    out = np.empty(lv.shape, np.float32)
+    lib.srnn_mulaw_decode(_iptr(lv.ravel()), _fptr(out.ravel()),
+                          lv.size, q_levels)
+    return out
+
+
+def read_wav(path) -> tuple[np.ndarray, int]:
+    lib = _load()
+    if lib is None:
+        from samplernn_pase_tpu.ops.audio_io import read_wav as rw
+        return rw(path)
+    sr = ctypes.c_int32(0)
+    n = lib.srnn_read_wav(str(path).encode(), None, 0,
+                          ctypes.byref(sr))
+    if n < 0:  # unsupported encoding -> scipy fallback
+        from samplernn_pase_tpu.ops.audio_io import read_wav as rw
+        return rw(path)
+    out = np.empty(int(n), np.float32)
+    got = lib.srnn_read_wav(str(path).encode(), _fptr(out), n,
+                            ctypes.byref(sr))
+    return out[:max(got, 0)], int(sr.value)
+
+
+def load_quantized(path, q_levels: int = 256) -> tuple[np.ndarray, int]:
+    """wav file -> (mu-law levels int32, sample_rate), fused native pass."""
+    lib = _load()
+    if lib is None:
+        from samplernn_pase_tpu.ops.audio_io import read_wav as rw
+        from samplernn_pase_tpu.data.dataset import _quantize_host
+        x, sr = rw(path)
+        return _quantize_host(x, q_levels), sr
+    sr = ctypes.c_int32(0)
+    n = lib.srnn_read_wav(str(path).encode(), None, 0, ctypes.byref(sr))
+    if n < 0:
+        from samplernn_pase_tpu.ops.audio_io import read_wav as rw
+        from samplernn_pase_tpu.data.dataset import _quantize_host
+        x, sr2 = rw(path)
+        return _quantize_host(x, q_levels), sr2
+    out = np.empty(int(n), np.int32)
+    got = lib.srnn_load_quantized(str(path).encode(), _iptr(out), n,
+                                  q_levels, ctypes.byref(sr))
+    return out[:max(got, 0)], int(sr.value)

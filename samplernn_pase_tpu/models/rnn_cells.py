@@ -85,7 +85,10 @@ def rnn_scan(params, state, x_gates_seq, rnn_type: str, compute_dtype):
     """Scan one RNN layer over time.
 
     state: [B,H] (gru) or [2,B,H] (lstm); x_gates_seq [B,N,gH] f32.
-    Returns (h_seq [B,N,H], final_state).
+    Returns (h_seq [B,N,H], final_state).  (Measured on v5e: scan
+    unrolling does not help here — the recurrent matmul is the serial
+    bottleneck, not per-step scan overhead — and it multiplies compile
+    time, so we keep the plain scan.)
     """
     step = gru_step if rnn_type == "gru" else lstm_step
 

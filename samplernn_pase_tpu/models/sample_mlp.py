@@ -57,12 +57,29 @@ def mlp_apply(params, samples, cond, frame_size: int, compute_dtype):
     """
     b, tw = samples.shape
     t = tw - frame_size + 1
-    emb = params["embed"][samples]                      # [B, TW, E]
-    # im2col: windows of width frame_size at stride 1, flattened.
-    idx = jnp.arange(t)[:, None] + jnp.arange(frame_size)[None, :]
-    win = emb[:, idx]                                   # [B, T, f, E]
-    win = win.reshape(b, t, frame_size * emb.shape[-1])
-    return _head(params, win, cond, compute_dtype)
+    e = params["embed"].shape[1]
+    hidden = params["w_h"].shape[0]
+    emb = params["embed"][samples].astype(compute_dtype)  # [B, TW, E]
+    # sliding window as ONE valid conv (kernel width = frame_size): the
+    # materialized im2col form costs ~2 GB of intermediates at the
+    # flagship shape; XLA lowers this conv straight onto the MXU.
+    # w_in rows are ordered [j * E + e] == window position-major, which
+    # is exactly the WIO kernel layout after reshape.
+    w = params["w_in"].reshape(frame_size, e, hidden).astype(compute_dtype)
+    # same-dtype in/out keeps the conv transpose (backward) rule happy;
+    # TPU convs accumulate in f32 internally regardless.
+    x = jax.lax.conv_general_dilated(
+        emb, w, window_strides=(1,), padding="VALID",
+        dimension_numbers=("NWC", "WIO", "NWC"))
+    x = x.astype(jnp.float32) + params["b_in"]
+    h = jax.nn.relu(x + cond)
+    h = jax.nn.relu(
+        jnp.matmul(h.astype(compute_dtype),
+                   params["w_h"].astype(compute_dtype),
+                   preferred_element_type=jnp.float32) + params["b_h"])
+    return jnp.matmul(h.astype(compute_dtype),
+                      params["w_out"].astype(compute_dtype),
+                      preferred_element_type=jnp.float32) + params["b_out"]
 
 
 def mlp_step(params, window, cond_vec, compute_dtype):

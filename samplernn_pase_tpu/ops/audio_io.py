@@ -15,8 +15,6 @@ DEFAULT_SAMPLE_RATE = 16_000
 def read_wav(path) -> tuple[np.ndarray, int]:
     """Read a wav file -> (float32 mono waveform in [-1, 1], sample_rate)."""
     sr, data = wavfile.read(path)
-    if data.ndim == 2:  # downmix to mono
-        data = data.mean(axis=1)
     if data.dtype == np.int16:
         x = data.astype(np.float32) / 32768.0
     elif data.dtype == np.int32:
@@ -25,6 +23,8 @@ def read_wav(path) -> tuple[np.ndarray, int]:
         x = (data.astype(np.float32) - 128.0) / 128.0
     else:  # float wav
         x = data.astype(np.float32)
+    if x.ndim == 2:  # downmix to mono AFTER scaling (dtype-dependent)
+        x = x.mean(axis=1)
     return np.clip(x, -1.0, 1.0), int(sr)
 
 
