@@ -25,10 +25,14 @@ from samplernn_pase_tpu.ops import mulaw
 import jax
 
 
-def _quantize_host(x: np.ndarray, q_levels: int) -> np.ndarray:
-    # host-side numpy mirror of ops.mulaw.mu_law_encode (same contract)
-    mu = float(q_levels - 1)
+def _quantize_host(x: np.ndarray, q_levels: int,
+                   codec: str = "mulaw") -> np.ndarray:
+    # host-side numpy mirror of ops.mulaw (same frozen contract)
     x = np.clip(x.astype(np.float64), -1.0, 1.0)
+    if codec == "linear":
+        lv = np.floor((x + 1.0) * 0.5 * (q_levels - 1) + 0.5)
+        return np.clip(lv, 0, q_levels - 1).astype(np.int32)
+    mu = float(q_levels - 1)
     y = np.sign(x) * np.log1p(mu * np.abs(x)) / np.log1p(mu)
     lv = np.floor((y + 1.0) * 0.5 * mu + 0.5)
     return np.clip(lv, 0, q_levels - 1).astype(np.int32)
@@ -59,17 +63,28 @@ class WavCorpus:
 
     @classmethod
     def from_folder(cls, path, q_levels: int = 256, val_frac: float = 0.1,
-                    cond_dir=None):
+                    cond_dir=None, codec: str = "mulaw"):
         """Scan `path` for .wav files; optionally pair cached PASE
-        embeddings from `cond_dir` (one .npy per wav, same stem)."""
+        embeddings from `cond_dir` (one .npy per wav, same stem).
+
+        Uses the native C++ fused wav->levels loader when the shared
+        library is available (data/native_loader.py), else scipy+numpy.
+        """
+        from samplernn_pase_tpu.data import native_loader
+
         files = sorted(Path(path).glob("**/*.wav"))
         if not files:
             raise FileNotFoundError(f"no .wav files under {path}")
+        use_native = codec == "mulaw" and native_loader.available()
         utts, names, conds, sr_out = [], [], [], None
         for f in files:
-            x, sr = read_wav(f)
+            if use_native:
+                lv, sr = native_loader.load_quantized(f, q_levels)
+            else:
+                x, sr = read_wav(f)
+                lv = _quantize_host(x, q_levels, codec)
             sr_out = sr_out or sr
-            utts.append(_quantize_host(x, q_levels))
+            utts.append(lv)
             names.append(f.stem)
             if cond_dir is not None:
                 conds.append(np.load(Path(cond_dir) / f"{f.stem}.npy"))

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from samplernn_pase_tpu.config import SampleRNNConfig
 from samplernn_pase_tpu.models import frame_rnn, sample_mlp, samplernn
 from samplernn_pase_tpu.ops.mulaw import (
-    levels_to_float, mu_law_decode, quantize_zero)
+    levels_to_float, linear_dequantize, mu_law_decode, quantize_zero)
 
 
 def _tier_states_step(params, cfg, hist, states, k, upper_vec, ext_vec):
@@ -240,6 +240,8 @@ def generate(params, cfg: SampleRNNConfig, n_seqs: int, length: int,
     """Generate float waveforms [n_seqs, length] in [-1, 1]."""
     levels = generate_levels(params, cfg, n_seqs, length, temperature, key,
                              cond, use_pallas=use_pallas)
+    if cfg.codec == "linear":
+        return linear_dequantize(levels, cfg.q_levels)
     return mu_law_decode(levels, cfg.q_levels)
 
 

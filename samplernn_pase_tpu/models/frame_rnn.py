@@ -18,18 +18,23 @@ import jax
 import jax.numpy as jnp
 
 from samplernn_pase_tpu.ops import init as winit
+from samplernn_pase_tpu.ops import weight_norm as wnorm
 from samplernn_pase_tpu.models import rnn_cells
 
 
 def init_frame_tier(key, span: int, frame_size: int, dim: int, n_rnn: int,
-                    rnn_type: str, cond_dim: int, learn_h0: bool):
+                    rnn_type: str, cond_dim: int, learn_h0: bool,
+                    use_weight_norm: bool = False):
     """span = raw samples per frame at this tier (n_frame_samples)."""
     keys = jax.random.split(key, 4 + n_rnn)
+    maybe_wn = wnorm.make if use_weight_norm else (lambda w: w)
     params = {
-        "w_in": winit.lecun_uniform(keys[0], (span, dim), fan_in=span),
+        "w_in": maybe_wn(
+            winit.lecun_uniform(keys[0], (span, dim), fan_in=span)),
         "b_in": jnp.zeros((dim,)),
-        "w_up": winit.lecun_uniform(keys[1], (dim, frame_size * dim),
-                                    fan_in=dim),
+        "w_up": maybe_wn(
+            winit.lecun_uniform(keys[1], (dim, frame_size * dim),
+                                fan_in=dim)),
         "b_up": jnp.zeros((frame_size, dim)),
         "rnn": [
             rnn_cells.init_rnn_layer(keys[4 + i], dim, dim, rnn_type)
@@ -67,7 +72,7 @@ def tier_input(params, frames, upper_cond, ext_cond, compute_dtype):
     returns     [B, N, dim] f32
     """
     x = jnp.matmul(frames.astype(compute_dtype),
-                   params["w_in"].astype(compute_dtype),
+                   wnorm.resolve(params["w_in"]).astype(compute_dtype),
                    preferred_element_type=jnp.float32) + params["b_in"]
     if upper_cond is not None:
         x = x + upper_cond
@@ -98,7 +103,7 @@ def tier_upsample(params, h_seq, frame_size: int, compute_dtype):
     """h_seq [B, N, dim] -> conditioning [B, N*frame_size, dim]."""
     b, n, dim = h_seq.shape
     up = jnp.matmul(h_seq.astype(compute_dtype),
-                    params["w_up"].astype(compute_dtype),
+                    wnorm.resolve(params["w_up"]).astype(compute_dtype),
                     preferred_element_type=jnp.float32)
     up = up.reshape(b, n, frame_size, dim) + params["b_up"]
     return up.reshape(b, n * frame_size, dim)
@@ -133,7 +138,7 @@ def tier_step(params, frame, upper_cond_vec, ext_cond_vec, state, *,
         new_states.append(new)
     b, dim = h.shape
     up = jnp.matmul(h.astype(compute_dtype),
-                    params["w_up"].astype(compute_dtype),
+                    wnorm.resolve(params["w_up"]).astype(compute_dtype),
                     preferred_element_type=jnp.float32)
     cond = up.reshape(b, frame_size, dim) + params["b_up"]
     return cond, jnp.stack(new_states)

@@ -15,20 +15,25 @@ import jax
 import jax.numpy as jnp
 
 from samplernn_pase_tpu.ops import init as winit
+from samplernn_pase_tpu.ops import weight_norm as wnorm
 
 
 def init_sample_mlp(key, frame_size: int, q_levels: int, embed_dim: int,
-                    hidden: int):
+                    hidden: int, use_weight_norm: bool = False):
     keys = jax.random.split(key, 5)
     flat_in = frame_size * embed_dim
+    maybe_wn = wnorm.make if use_weight_norm else (lambda w: w)
     return {
         "embed": winit.uniform(keys[0], (q_levels, embed_dim), scale=1.0),
         # conv(kernel=frame_size) expressed as a flat matmul weight
-        "w_in": winit.lecun_uniform(keys[1], (flat_in, hidden), fan_in=flat_in),
+        "w_in": maybe_wn(winit.lecun_uniform(keys[1], (flat_in, hidden),
+                                             fan_in=flat_in)),
         "b_in": jnp.zeros((hidden,)),
-        "w_h": winit.lecun_uniform(keys[2], (hidden, hidden), fan_in=hidden),
+        "w_h": maybe_wn(winit.lecun_uniform(keys[2], (hidden, hidden),
+                                            fan_in=hidden)),
         "b_h": jnp.zeros((hidden,)),
-        "w_out": winit.lecun_uniform(keys[3], (hidden, q_levels), fan_in=hidden),
+        "w_out": maybe_wn(winit.lecun_uniform(keys[3], (hidden, q_levels),
+                                              fan_in=hidden)),
         "b_out": jnp.zeros((q_levels,)),
     }
 
@@ -36,14 +41,15 @@ def init_sample_mlp(key, frame_size: int, q_levels: int, embed_dim: int,
 def _head(params, x, cond, compute_dtype):
     """Shared tail: x [.., flat_in] + cond [.., hidden] -> logits f32."""
     h = jnp.matmul(x.astype(compute_dtype),
-                   params["w_in"].astype(compute_dtype),
+                   wnorm.resolve(params["w_in"]).astype(compute_dtype),
                    preferred_element_type=jnp.float32) + params["b_in"]
     h = jax.nn.relu(h + cond)
     h = jax.nn.relu(
-        jnp.matmul(h.astype(compute_dtype), params["w_h"].astype(compute_dtype),
+        jnp.matmul(h.astype(compute_dtype),
+                   wnorm.resolve(params["w_h"]).astype(compute_dtype),
                    preferred_element_type=jnp.float32) + params["b_h"])
     return jnp.matmul(h.astype(compute_dtype),
-                      params["w_out"].astype(compute_dtype),
+                      wnorm.resolve(params["w_out"]).astype(compute_dtype),
                       preferred_element_type=jnp.float32) + params["b_out"]
 
 
@@ -58,14 +64,15 @@ def mlp_apply(params, samples, cond, frame_size: int, compute_dtype):
     b, tw = samples.shape
     t = tw - frame_size + 1
     e = params["embed"].shape[1]
-    hidden = params["w_h"].shape[0]
+    hidden = params["b_h"].shape[0]
     emb = params["embed"][samples].astype(compute_dtype)  # [B, TW, E]
     # sliding window as ONE valid conv (kernel width = frame_size): the
     # materialized im2col form costs ~2 GB of intermediates at the
     # flagship shape; XLA lowers this conv straight onto the MXU.
     # w_in rows are ordered [j * E + e] == window position-major, which
     # is exactly the WIO kernel layout after reshape.
-    w = params["w_in"].reshape(frame_size, e, hidden).astype(compute_dtype)
+    w = wnorm.resolve(params["w_in"]).reshape(
+        frame_size, e, hidden).astype(compute_dtype)
     # same-dtype in/out keeps the conv transpose (backward) rule happy;
     # TPU convs accumulate in f32 internally regardless.
     x = jax.lax.conv_general_dilated(
@@ -75,10 +82,10 @@ def mlp_apply(params, samples, cond, frame_size: int, compute_dtype):
     h = jax.nn.relu(x + cond)
     h = jax.nn.relu(
         jnp.matmul(h.astype(compute_dtype),
-                   params["w_h"].astype(compute_dtype),
+                   wnorm.resolve(params["w_h"]).astype(compute_dtype),
                    preferred_element_type=jnp.float32) + params["b_h"])
     return jnp.matmul(h.astype(compute_dtype),
-                      params["w_out"].astype(compute_dtype),
+                      wnorm.resolve(params["w_out"]).astype(compute_dtype),
                       preferred_element_type=jnp.float32) + params["b_out"]
 
 

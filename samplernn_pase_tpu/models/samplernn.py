@@ -43,11 +43,13 @@ def init_params(key, cfg: SampleRNNConfig) -> Params:
             rnn_type=cfg.rnn_type,
             cond_dim=cfg.cond_dim,
             learn_h0=cfg.learn_h0,
+            use_weight_norm=cfg.weight_norm,
         ))
     # MLP hidden width must equal `dim`: bottom-tier conditioning is added
     # directly onto the first hidden layer (reference behavior, §3.4).
     mlp = sample_mlp.init_sample_mlp(
-        keys[-1], cfg.frame_sizes[0], cfg.q_levels, cfg.embed_dim, cfg.dim)
+        keys[-1], cfg.frame_sizes[0], cfg.q_levels, cfg.embed_dim, cfg.dim,
+        use_weight_norm=cfg.weight_norm)
     return {"tiers": tiers, "mlp": mlp}
 
 

@@ -27,6 +27,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from samplernn_pase_tpu.ops.weight_norm import resolve as _wn
+
 
 def _embed_col(levels_col, embed, n_levels):
     """levels [B, 1] int32 -> embed rows [B, E] via one-hot matmul.
@@ -160,20 +162,20 @@ def fused_tier_frame_decode(window, upper_cond, h_prev, temperature, key,
         upper_cond.astype(jnp.float32),
         h_prev.astype(jnp.float32),
         noise,
-        tier_params["w_in"].astype(wt),
+        _wn(tier_params["w_in"]).astype(wt),
         tier_params["b_in"].astype(jnp.float32).reshape(1, hdim),
         rnn["w_ih"].astype(wt),
         rnn["b_ih"].astype(jnp.float32).reshape(1, 3 * hdim),
         rnn["w_hh"].astype(wt),
         rnn["b_hh"].astype(jnp.float32).reshape(1, 3 * hdim),
-        tier_params["w_up"].astype(wt),
+        _wn(tier_params["w_up"]).astype(wt),
         tier_params["b_up"].astype(jnp.float32),
         mlp_params["embed"].astype(wt),
-        mlp_params["w_in"].astype(wt),
+        _wn(mlp_params["w_in"]).astype(wt),
         mlp_params["b_in"].astype(jnp.float32).reshape(1, hdim),
-        mlp_params["w_h"].astype(wt),
+        _wn(mlp_params["w_h"]).astype(wt),
         mlp_params["b_h"].astype(jnp.float32).reshape(1, hdim),
-        mlp_params["w_out"].astype(wt),
+        _wn(mlp_params["w_out"]).astype(wt),
         mlp_params["b_out"].astype(jnp.float32).reshape(1, q_levels),
     )
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -203,7 +205,7 @@ def fused_frame_decode(window, cond, temperature, key, mlp_params, *,
     returns [B, f1] int32 sampled levels.
     """
     b, f1 = window.shape
-    hdim = mlp_params["w_h"].shape[0]
+    hdim = mlp_params["b_h"].shape[0]
     wt = jnp.bfloat16
 
     cond_t = jnp.moveaxis(cond, 1, 0).astype(jnp.float32)  # [f1, B, H]
@@ -214,11 +216,11 @@ def fused_frame_decode(window, cond, temperature, key, mlp_params, *,
         cond_t,
         noise,
         mlp_params["embed"].astype(wt),
-        mlp_params["w_in"].astype(wt),
+        _wn(mlp_params["w_in"]).astype(wt),
         mlp_params["b_in"].astype(jnp.float32).reshape(1, hdim),
-        mlp_params["w_h"].astype(wt),
+        _wn(mlp_params["w_h"]).astype(wt),
         mlp_params["b_h"].astype(jnp.float32).reshape(1, hdim),
-        mlp_params["w_out"].astype(wt),
+        _wn(mlp_params["w_out"]).astype(wt),
         mlp_params["b_out"].astype(jnp.float32).reshape(1, q_levels),
     )
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)

@@ -30,6 +30,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from samplernn_pase_tpu.ops.weight_norm import resolve as _wn
+
 
 def _embed_col(levels_col, embed, n_levels):
     b = levels_col.shape[0]
@@ -168,13 +170,13 @@ def generate_full_pallas(window, h0, h1, temperature, seed, tier0, tier1,
 
     def prep(t):
         r = t["rnn"][0]
-        return (t["w_in"].astype(wt),
+        return (_wn(t["w_in"]).astype(wt),
                 t["b_in"].astype(jnp.float32).reshape(1, hdim),
                 r["w_ih"].astype(wt),
                 r["b_ih"].astype(jnp.float32).reshape(1, 3 * hdim),
                 r["w_hh"].astype(wt),
                 r["b_hh"].astype(jnp.float32).reshape(1, 3 * hdim),
-                t["w_up"].astype(wt),
+                _wn(t["w_up"]).astype(wt),
                 t["b_up"].astype(jnp.float32))
 
     args = (
@@ -186,11 +188,11 @@ def generate_full_pallas(window, h0, h1, temperature, seed, tier0, tier1,
         *prep(tier0),
         *prep(tier1),
         mlp["embed"].astype(wt),
-        mlp["w_in"].astype(wt),
+        _wn(mlp["w_in"]).astype(wt),
         mlp["b_in"].astype(jnp.float32).reshape(1, hdim),
-        mlp["w_h"].astype(wt),
+        _wn(mlp["w_h"]).astype(wt),
         mlp["b_h"].astype(jnp.float32).reshape(1, hdim),
-        mlp["w_out"].astype(wt),
+        _wn(mlp["w_out"]).astype(wt),
         mlp["b_out"].astype(jnp.float32).reshape(1, q_levels),
     )
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
