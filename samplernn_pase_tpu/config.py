@@ -110,7 +110,11 @@ class TrainConfig:
     batch_size: int = 128
     seq_len: int = 1024            # TBPTT chunk length in samples
     lr: float = 1e-3
+    lr_schedule: str = "constant"  # constant | cosine | exponential
+    warmup_steps: int = 0
+    decay_steps: int = 100_000
     grad_clip: float = 1.0
+    profile_dir: str = ""          # jax.profiler trace of steps 10-12
     epochs: int = 10
     seed: int = 0
     sample_rate: int = 16_000

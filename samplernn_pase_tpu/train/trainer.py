@@ -170,7 +170,11 @@ class Trainer:
         key = key if key is not None else jax.random.PRNGKey(train_cfg.seed)
         self.params = params if params is not None else samplernn.init_params(
             key, model_cfg)
-        self.tx = make_optimizer(train_cfg.lr, train_cfg.grad_clip)
+        self.tx = make_optimizer(
+            train_cfg.lr, train_cfg.grad_clip,
+            schedule=train_cfg.lr_schedule,
+            warmup_steps=train_cfg.warmup_steps,
+            decay_steps=train_cfg.decay_steps)
         self.opt_state = self.tx.init(self.params)
         self.hiddens = samplernn.initial_state(
             self.params, model_cfg, train_cfg.batch_size)
@@ -239,6 +243,13 @@ class Trainer:
                         self.params, self.opt_state, self.hiddens, *args)
                 nll = float(nll)
                 dt = time.time() - t0
+                # profiling hook (SURVEY.md §5): trace steps 10-12 once
+                if self.train_cfg.profile_dir:
+                    if self.global_step == 10:
+                        jax.profiler.start_trace(
+                            self.train_cfg.profile_dir)
+                    elif self.global_step == 12:
+                        jax.profiler.stop_trace()
                 metrics = {
                     "nll_bits": nll,
                     "samples_per_sec": samples_per_chunk / dt,

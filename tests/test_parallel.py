@@ -90,3 +90,20 @@ def test_entry_compiles():
     fn, args = ge.entry()
     nll, state = jax.jit(fn)(*args)
     assert np.isfinite(float(nll))
+
+
+def test_trainer_with_mesh_runs():
+    """Trainer(mesh=...) end-to-end on the 8-device CPU mesh."""
+    from samplernn_pase_tpu.config import TrainConfig
+    from samplernn_pase_tpu.data.dataset import synthetic_corpus
+    from samplernn_pase_tpu.train import trainer as tr
+
+    mesh = pm.make_mesh((8,), ("data",))
+    corpus = synthetic_corpus(n_utts=8, length=1024, seed=7)
+    tcfg = TrainConfig(batch_size=8, seq_len=256, epochs=1,
+                       lr_schedule="cosine", warmup_steps=2,
+                       decay_steps=50)
+    t = tr.Trainer(CFG, tcfg, corpus, mesh=mesh)
+    t.run()
+    assert t.global_step > 0
+    assert np.isfinite(t.validate())
