@@ -91,8 +91,13 @@ def _kernel(f1, f2, n_top, q_levels, deterministic,
         if deterministic:
             scores = logits
         else:
+            # prng_random_bits yields SIGNED int32: mask to the low 23
+            # bits before the float cast (an arithmetic >> would
+            # sign-extend, making u negative -> NaN gumbel -> saturated
+            # argmax; Mosaic also lacks a uint32->f32 cast).
             bits = pltpu.prng_random_bits((b, q_levels))
-            u = (bits >> 8).astype(jnp.float32) * (1.0 / (1 << 24)) + 1e-7
+            u23 = jnp.bitwise_and(bits, jnp.int32(0x7FFFFF))
+            u = u23.astype(jnp.float32) * (1.0 / (1 << 23)) + 1e-7
             scores = logits + temp * (-jnp.log(-jnp.log(u)))
         sample = jnp.argmax(scores, axis=-1,
                             keepdims=True).astype(jnp.int32)     # [B,1]

@@ -60,6 +60,21 @@ def main():
     agree_self = (rescored == mega).mean()
     print(f"mega self-consistency (rescore argmax): {agree_self:.4f}")
     assert agree_self > 0.97, agree_self
+
+    # sampling-distribution check (temp=1): the megakernel's on-core
+    # PRNG sampling must match the XLA jax.random path statistically —
+    # catches sign-extension/NaN-noise bugs that greedy cannot see.
+    mega_s = np.asarray(gen.generate_levels(
+        params, cfg, b, t, temperature=1.0, key=jax.random.PRNGKey(1),
+        use_pallas="full"))
+    xla_s = np.asarray(gen.generate_levels(
+        params, cfg, b, t, temperature=1.0, key=jax.random.PRNGKey(1),
+        use_pallas=False))
+    print(f"sampled mega mean/std {mega_s.mean():.1f}/{mega_s.std():.1f} "
+          f"vs xla {xla_s.mean():.1f}/{xla_s.std():.1f}")
+    assert abs(mega_s.mean() - xla_s.mean()) < 25, "sampling mean mismatch"
+    assert abs(mega_s.std() - xla_s.std()) < 25, "sampling std mismatch"
+    assert mega_s.std() > 10, "megakernel sampling collapsed"
     print("TPU check OK")
 
 
