@@ -28,20 +28,20 @@ def main():
     params = samplernn.init_params(jax.random.PRNGKey(0), cfg)
     fn = gen.make_generator(cfg, BATCH, LENGTH, temperature=0.95)
 
-    # scalar-reduction sync: on this box's tunnel backend,
-    # block_until_ready can return before device work completes, and a
-    # full host transfer adds tunnel latency; a dependent jitted sum
-    # forces completion and moves only 4 bytes.
-    sync = jax.jit(lambda x: jnp.sum(x))
-    float(sync(fn(params, jax.random.PRNGKey(1))))   # compile + warmup
+    # Steady-state measurement: this box reaches the chip through a
+    # tunnel with ~31 ms fixed round-trip latency per blocking call, so
+    # we enqueue n_rep independent generations back-to-back (device
+    # executes them sequentially) and force completion with ONE
+    # dependent scalar reduction (block_until_ready alone can return
+    # early on this backend; a 4-byte scalar transfer cannot).
+    sync = jax.jit(lambda xs: sum(jnp.sum(x) for x in xs))
+    float(sync([fn(params, jax.random.PRNGKey(1))]))  # compile + warmup
 
-    n_rep = 3
-    times = []
-    for i in range(n_rep):
-        t0 = time.perf_counter()
-        float(sync(fn(params, jax.random.PRNGKey(2 + i))))
-        times.append(time.perf_counter() - t0)
-    dt = min(times)
+    n_rep = 4
+    t0 = time.perf_counter()
+    outs = [fn(params, jax.random.PRNGKey(2 + i)) for i in range(n_rep)]
+    float(sync(outs))
+    dt = (time.perf_counter() - t0) / n_rep
 
     sps = BATCH * LENGTH / dt
     print(json.dumps({

@@ -38,13 +38,14 @@ def main():
 
     params, opt, hid, nll = step(params, opt, hid, x, y, r)
     float(nll)
-    times = []
-    for _ in range(5):
-        t0 = time.perf_counter()
+    # steady-state: enqueue N steps back-to-back, one blocking sync at
+    # the end (the dev box's TPU tunnel adds ~31 ms per blocking call)
+    n_rep = 8
+    t0 = time.perf_counter()
+    for _ in range(n_rep):
         params, opt, hid, nll = step(params, opt, hid, x, y, r)
-        float(nll)  # sync
-        times.append(time.perf_counter() - t0)
-    dt = min(times)
+    float(nll)
+    dt = (time.perf_counter() - t0) / n_rep
     frames_per_sec = b * t / cfg.frame_sizes[0] / dt
     print(json.dumps({
         "metric": "train_bottom_frames_per_sec_b128_seq1024",
