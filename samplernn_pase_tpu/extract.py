@@ -9,6 +9,7 @@ Embarrassingly batch-parallel — under a mesh the batch axis shards over
 
 from __future__ import annotations
 
+import functools
 from pathlib import Path
 
 import numpy as np
@@ -19,8 +20,13 @@ from samplernn_pase_tpu.config import PASEConfig
 from samplernn_pase_tpu.models import pase as pase_mod
 
 
+@functools.lru_cache(maxsize=8)
 def make_extractor(cfg: PASEConfig):
-    """Returns jitted (params, bn_state, wav[B,T]) -> emb [B, T//dec, D]."""
+    """Returns jitted (params, bn_state, wav[B,T]) -> emb [B, T//dec, D].
+
+    Cached per config: a fresh jax.jit closure per call would lose the
+    compilation cache and recompile on every extract_embeddings call.
+    """
 
     def fn(params, bn_state, wav):
         emb, _ = pase_mod.pase_apply(params, bn_state, wav, cfg, train=False)
