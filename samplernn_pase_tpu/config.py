@@ -38,6 +38,9 @@ class SampleRNNConfig:
     cond_dim: int = 0               # 0 = unconditional; else PASE embedding dim
     cond_rate: int = 0              # samples per conditioning frame (e.g. 160)
     learn_h0: bool = True
+    remat: bool = False             # jax.checkpoint each tier: trades
+                                    # recompute for activation memory on
+                                    # long TBPTT chunks
     weight_norm: bool = False       # weight_norm on projections (C20)
     codec: str = "mulaw"            # "mulaw" | "linear" quantizer (C1)
     compute_dtype: str = "bfloat16"  # matmul dtype; state/softmax stay f32

@@ -133,11 +133,25 @@ def _decode_tier(params, cfg, k, hist, states, key, pos, cond, upper_vec,
     return hist, states, key
 
 
+def _megakernel_weight_bytes(cfg):
+    """bf16 VMEM footprint of the megakernel's resident weights."""
+    h, e, q = cfg.dim, cfg.embed_dim, cfg.q_levels
+    f1, f2 = cfg.frame_sizes
+    per_tier = (3 * h * h) * 2 + h * h  # w_ih + w_hh (+input proj approx)
+    tier0 = f1 * h + per_tier + h * f1 * h
+    tier1 = f1 * f2 * h + per_tier + h * f2 * h
+    mlp = q * e + f1 * e * h + h * h + h * q
+    return 2 * (tier0 + tier1 + mlp)
+
+
 def _full_kernel_eligible(cfg, cond, use_pallas, temperature):
     """Route to the whole-generation megakernel (ops/pallas/megagen.py)?"""
     if cond is not None or cfg.cond_dim:
         return False
     if cfg.n_tiers != 2 or cfg.rnn_type != "gru" or cfg.n_rnn != 1:
+        return False
+    # all weights must fit resident in VMEM (v5e-class: ~128 MB)
+    if _megakernel_weight_bytes(cfg) > 100 * 1024 * 1024:
         return False
     if use_pallas in (True, "full"):
         return True

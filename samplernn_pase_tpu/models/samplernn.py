@@ -115,10 +115,18 @@ def forward(params: Params, cfg: SampleRNNConfig, inputs, state: State,
         frames = frame_signal(
             x_float[:, lookback - span: lookback - span + t], span)
         ext = _tier_ext_cond(cond, n_frames, span, cfg.cond_rate)
-        upper, new_states[k] = frame_rnn.tier_apply(
-            params["tiers"][k], frames, upper, ext, state[k],
-            frame_size=cfg.frame_sizes[k], rnn_type=cfg.rnn_type,
-            compute_dtype=dt)
+
+        def apply_fn(p, fr, up, ex, st, _fs=cfg.frame_sizes[k]):
+            return frame_rnn.tier_apply(
+                p, fr, up, ex, st, frame_size=_fs,
+                rnn_type=cfg.rnn_type, compute_dtype=dt)
+
+        if cfg.remat:
+            # rematerialize tier activations in the backward pass
+            # (SURVEY.md §1: "jax.checkpoint to trade FLOPs for memory")
+            apply_fn = jax.checkpoint(apply_fn)
+        upper, new_states[k] = apply_fn(
+            params["tiers"][k], frames, upper, ext, state[k])
 
     f1 = cfg.frame_sizes[0]
     mlp_samples = inputs[:, lookback - f1: lookback + t - 1]
