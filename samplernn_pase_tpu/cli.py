@@ -29,6 +29,13 @@ def _add_model_flags(p):
     p.add_argument("--embed_dim", type=int, default=None)
     p.add_argument("--cond_dim", type=int, default=None)
     p.add_argument("--cond_rate", type=int, default=None)
+    p.add_argument("--rnn_layers", dest="n_rnn_alias", type=int,
+                   default=None, help="alias of --n_rnn")
+    p.add_argument("--weight_norm", action="store_const", const=True,
+                   default=None)
+    p.add_argument("--codec", choices=["mulaw", "linear"], default=None)
+    p.add_argument("--remat", action="store_const", const=True,
+                   default=None)
 
 
 def _override(cfg, args, fields):
@@ -49,11 +56,14 @@ def _load_exp(args):
         exp = C.preset(args.preset)
     else:
         exp = C.ExperimentConfig()
+    if getattr(args, "n_rnn_alias", None) is not None:
+        args.n_rnn = args.n_rnn_alias
     model = _override(exp.model, args, [
         "frame_sizes", "dim", "n_rnn", "rnn_type", "q_levels", "embed_dim",
-        "cond_dim", "cond_rate"])
+        "cond_dim", "cond_rate", "weight_norm", "codec", "remat"])
     train = _override(exp.train, args, [
-        "batch_size", "seq_len", "lr", "epochs", "seed", "exp_dir"])
+        "batch_size", "seq_len", "lr", "lr_schedule", "epochs", "seed",
+        "exp_dir"])
     return dataclasses.replace(exp, model=model, train=train)
 
 
@@ -71,7 +81,7 @@ def cmd_train(args):
     if args.dataset:
         corpus = WavCorpus.from_folder(
             args.dataset, exp.model.q_levels,
-            cond_dir=args.cond_dir or None)
+            cond_dir=args.cond_dir or None, codec=exp.model.codec)
     else:
         print("[train] no --dataset; using synthetic corpus", file=sys.stderr)
         corpus = synthetic_corpus(q_levels=exp.model.q_levels)
@@ -174,6 +184,8 @@ def main(argv=None):
     pt.add_argument("--batch_size", type=int)
     pt.add_argument("--seq_len", type=int)
     pt.add_argument("--lr", type=float)
+    pt.add_argument("--lr_schedule",
+                    choices=["constant", "cosine", "exponential"])
     pt.add_argument("--epochs", type=int)
     pt.add_argument("--seed", type=int)
     pt.add_argument("--resume", action="store_true")

@@ -16,7 +16,7 @@ divisibility constraint between cond_rate and tier spans is needed
 
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Any
 
 import jax
 import jax.numpy as jnp
