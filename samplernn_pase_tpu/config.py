@@ -37,6 +37,9 @@ class SampleRNNConfig:
     mlp_hidden: int = 1024
     cond_dim: int = 0               # 0 = unconditional; else PASE embedding dim
     cond_rate: int = 0              # samples per conditioning frame (e.g. 160)
+    n_speakers: int = 0             # >0: learned speaker-lookup table whose
+                                    # embedding adds onto the conditioning
+                                    # stream (C12 "speaker one-hot/lookup")
     learn_h0: bool = True
     remat: bool = False             # jax.checkpoint each tier: trades
                                     # recompute for activation memory on

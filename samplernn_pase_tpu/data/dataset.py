@@ -44,13 +44,15 @@ class WavCorpus:
     def __init__(self, utterances: Sequence[np.ndarray], q_levels: int = 256,
                  sample_rate: int = 16_000, names: Sequence[str] | None = None,
                  val_frac: float = 0.1,
-                 conditioning: Sequence[np.ndarray] | None = None):
+                 conditioning: Sequence[np.ndarray] | None = None,
+                 speakers: Sequence[int] | None = None):
         self.q_levels = q_levels
         self.sample_rate = sample_rate
         self.utterances = [np.asarray(u, np.int32) for u in utterances]
         self.names = list(names) if names else [
             f"utt{i:05d}" for i in range(len(utterances))]
         self.conditioning = conditioning
+        self.speakers = list(speakers) if speakers is not None else None
         # deterministic split by name hash (stable across runs/machines)
         self.val_idx = [
             i for i, n in enumerate(self.names)
@@ -77,6 +79,11 @@ class WavCorpus:
             raise FileNotFoundError(f"no .wav files under {path}")
         use_native = codec == "mulaw" and native_loader.available()
         utts, names, conds, sr_out = [], [], [], None
+        # speaker id from parent directory name (speaker/utt.wav layout);
+        # flat corpora get a single speaker 0
+        dir_names = sorted({f.parent.name for f in files})
+        spk_of = {d: i for i, d in enumerate(dir_names)}
+        speakers = []
         for f in files:
             if use_native:
                 lv, sr = native_loader.load_quantized(f, q_levels)
@@ -86,16 +93,20 @@ class WavCorpus:
             sr_out = sr_out or sr
             utts.append(lv)
             names.append(f.stem)
+            speakers.append(spk_of[f.parent.name])
             if cond_dir is not None:
                 conds.append(np.load(Path(cond_dir) / f"{f.stem}.npy"))
         return cls(utts, q_levels, sr_out or 16_000, names, val_frac,
-                   conds if cond_dir is not None else None)
+                   conds if cond_dir is not None else None,
+                   speakers=speakers)
 
     def _subset(self, idx):
         utts = [self.utterances[i] for i in idx]
         conds = ([self.conditioning[i] for i in idx]
                  if self.conditioning is not None else None)
-        return utts, conds
+        spks = ([self.speakers[i] for i in idx]
+                if self.speakers is not None else None)
+        return utts, conds, spks
 
     def batcher(self, split: str, batch_size: int, seq_len: int,
                 overlap: int, cond_rate: int | None = None) -> StreamBatcher:
@@ -106,11 +117,11 @@ class WavCorpus:
             # recycle utterances so every batch lane has a stream
             idx = (idx * (-(-batch_size // len(idx))))[:max(
                 batch_size, len(idx))]
-        utts, conds = self._subset(idx)
+        utts, conds, spks = self._subset(idx)
         return StreamBatcher(
             utts, batch_size, seq_len, overlap,
             q_zero=mulaw.quantize_zero(self.q_levels),
-            conditioning=conds, cond_rate=cond_rate)
+            conditioning=conds, cond_rate=cond_rate, speaker_ids=spks)
 
 
 def synthetic_corpus(n_utts: int = 8, length: int = 32_768,

@@ -203,15 +203,21 @@ def _generate_full(params, cfg, n_seqs, length, temperature, key, hist,
 def generate_levels(params, cfg: SampleRNNConfig, n_seqs: int, length: int,
                     temperature: float | None = 1.0, key=None, cond=None,
                     initial_states=None, hist=None,
-                    use_pallas: bool | str | None = None):
+                    use_pallas: bool | str | None = None, speakers=None):
     """Generate quantized levels [n_seqs, length] with one fused scan.
 
     length is rounded up to a multiple of lookback internally and trimmed.
     temperature=None (or 0) means greedy argmax.  use_pallas: None = auto
     (Pallas frame-decode kernel on TPU, plain XLA elsewhere); True/False
     force; "interpret" runs the kernel in interpreter mode (CPU tests).
+    speakers [n_seqs] int32 ids fold the learned speaker embedding into
+    the conditioning stream (cfg.n_speakers).
     """
     key = key if key is not None else jax.random.PRNGKey(0)
+    if speakers is not None:
+        cond = samplernn.speaker_cond(
+            params, cfg, jnp.asarray(speakers), cond,
+            max(-(-length // cfg.cond_rate), 1))
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if not temperature:

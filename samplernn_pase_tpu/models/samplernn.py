@@ -50,7 +50,15 @@ def init_params(key, cfg: SampleRNNConfig) -> Params:
     mlp = sample_mlp.init_sample_mlp(
         keys[-1], cfg.frame_sizes[0], cfg.q_levels, cfg.embed_dim, cfg.dim,
         use_weight_norm=cfg.weight_norm)
-    return {"tiers": tiers, "mlp": mlp}
+    params = {"tiers": tiers, "mlp": mlp}
+    if cfg.n_speakers:
+        if not cfg.cond_dim or not cfg.cond_rate:
+            raise ValueError("n_speakers requires cond_dim and cond_rate")
+        from samplernn_pase_tpu.ops import init as winit
+        params["speaker"] = winit.uniform(
+            jax.random.fold_in(key, 7), (cfg.n_speakers, cfg.cond_dim),
+            scale=0.1)
+    return params
 
 
 def initial_state(params: Params, cfg: SampleRNNConfig, batch: int) -> State:
@@ -93,18 +101,33 @@ def _tier_ext_cond(cond, n_frames: int, span: int, cond_rate: int):
     return cond[:, idx]
 
 
+def speaker_cond(params: Params, cfg: SampleRNNConfig, speakers, cond,
+                 n_cond_frames: int):
+    """Fold a per-lane speaker id [B] into the conditioning stream:
+    the learned speaker embedding is broadcast over time and added onto
+    (or used as) the external conditioning (C12)."""
+    spk = params["speaker"][speakers]                 # [B, cond_dim]
+    spk = jnp.broadcast_to(spk[:, None, :],
+                           (spk.shape[0], n_cond_frames, spk.shape[1]))
+    return spk if cond is None else cond + spk
+
+
 def forward(params: Params, cfg: SampleRNNConfig, inputs, state: State,
-            cond=None):
+            cond=None, speakers=None):
     """Teacher-forced forward pass.
 
     inputs [B, lookback + T] int32 levels; cond [B, T//cond_rate, cond_dim]
-    or None.  Returns (logits [B, T, q_levels] f32, new_state).
+    or None; speakers [B] int32 ids or None (requires cfg.n_speakers).
+    Returns (logits [B, T, q_levels] f32, new_state).
     """
     dt = jnp.dtype(cfg.compute_dtype)
     lookback = cfg.lookback
     t = inputs.shape[1] - lookback
     if t % lookback:
         raise ValueError(f"T={t} must be a multiple of lookback={lookback}")
+    if speakers is not None:
+        cond = speaker_cond(params, cfg, speakers, cond,
+                            max(t // cfg.cond_rate, 1))
 
     x_float = levels_to_float(inputs, cfg.q_levels)
     upper = None
@@ -142,6 +165,7 @@ def nll_bits(logits, targets):
 
 
 def loss_fn(params: Params, cfg: SampleRNNConfig, batch_inputs,
-            batch_targets, state: State, cond=None):
-    logits, new_state = forward(params, cfg, batch_inputs, state, cond)
+            batch_targets, state: State, cond=None, speakers=None):
+    logits, new_state = forward(params, cfg, batch_inputs, state, cond,
+                                speakers)
     return nll_bits(logits, batch_targets), new_state

@@ -42,11 +42,14 @@ class TBPTTChunk(NamedTuple):
              the levels at positions [overlap, overlap + seq_len).
     resets:  bool  [B]                    — lane starts a fresh stream; the
              trainer zeros that lane's hidden state.
+    speakers: int32 [B] or None           — per-lane speaker id of the
+             current utterance (multi-speaker corpora, C12).
     """
 
     inputs: np.ndarray
     targets: np.ndarray
     resets: np.ndarray
+    speakers: np.ndarray | None = None
 
 
 def chunk_for_tbptt(
@@ -91,6 +94,7 @@ class StreamBatcher:
         q_zero: int,
         conditioning: Sequence[np.ndarray] | None = None,
         cond_rate: int | None = None,
+        speaker_ids: Sequence[int] | None = None,
     ):
         if conditioning is not None and len(conditioning) != len(utterances):
             raise ValueError("one conditioning array per utterance required")
@@ -103,10 +107,15 @@ class StreamBatcher:
         self.cond_rate = cond_rate
         self.cond_dim = conditioning[0].shape[-1] if conditioning is not None else 0
 
-        # lane -> list of (chunk_inputs, chunk_targets, is_first, cond_chunk)
+        if speaker_ids is not None and len(speaker_ids) != len(utterances):
+            raise ValueError("one speaker id per utterance required")
+        self.has_speakers = speaker_ids is not None
+
+        # lane -> list of (inputs, targets, is_first, cond_chunk, speaker)
         self.lanes: list[list] = [[] for _ in range(batch_size)]
         for u, utt in enumerate(utterances):
             lane = u % batch_size
+            spk = speaker_ids[u] if speaker_ids is not None else 0
             utt = np.asarray(utt)
             n_chunks = max(1, int(np.ceil(len(utt) / seq_len)))
             padded = np.full(overlap + n_chunks * seq_len, q_zero, utt.dtype)
@@ -125,7 +134,8 @@ class StreamBatcher:
                 if cond_frames is not None:
                     per_chunk = seq_len // cond_rate
                     cond_k = cond_frames[k * per_chunk : (k + 1) * per_chunk]
-                self.lanes[lane].append((window, window[overlap:], k == 0, cond_k))
+                self.lanes[lane].append(
+                    (window, window[overlap:], k == 0, cond_k, spk))
 
     def __len__(self) -> int:
         return min(len(lane) for lane in self.lanes) if self.batch_size else 0
@@ -138,8 +148,14 @@ class StreamBatcher:
             resets = np.array(
                 [self.lanes[b][k][2] for b in range(self.batch_size)], bool
             )
+            speakers = None
+            if self.has_speakers:
+                speakers = np.array(
+                    [self.lanes[b][k][4] for b in range(self.batch_size)],
+                    np.int32)
             chunk = TBPTTChunk(
-                inputs.astype(np.int32), targets.astype(np.int32), resets
+                inputs.astype(np.int32), targets.astype(np.int32), resets,
+                speakers
             )
             if self.cond_dim:
                 cond = np.stack(

@@ -39,11 +39,13 @@ def make_train_step(cfg: SampleRNNConfig, tx: optax.GradientTransformation):
     are donated: the updated pytrees reuse the same device buffers.
     """
 
-    def step(params, opt_state, hiddens, inputs, targets, resets, cond=None):
+    def step(params, opt_state, hiddens, inputs, targets, resets,
+             cond=None, speakers=None):
         hiddens = samplernn.reset_state(params, cfg, hiddens, resets)
 
         def loss(p):
-            return samplernn.loss_fn(p, cfg, inputs, targets, hiddens, cond)
+            return samplernn.loss_fn(p, cfg, inputs, targets, hiddens,
+                                     cond, speakers)
 
         (nll, new_h), grads = jax.value_and_grad(loss, has_aux=True)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
@@ -54,10 +56,11 @@ def make_train_step(cfg: SampleRNNConfig, tx: optax.GradientTransformation):
 
 
 def make_eval_step(cfg: SampleRNNConfig):
-    def step(params, hiddens, inputs, targets, resets, cond=None):
+    def step(params, hiddens, inputs, targets, resets, cond=None,
+             speakers=None):
         hiddens = samplernn.reset_state(params, cfg, hiddens, resets)
         nll, new_h = samplernn.loss_fn(
-            params, cfg, inputs, targets, hiddens, cond)
+            params, cfg, inputs, targets, hiddens, cond, speakers)
         return new_h, nll
 
     return jax.jit(step, donate_argnums=(1,))
@@ -216,6 +219,14 @@ class Trainer:
             chunk, cond = item, None
         return chunk, cond
 
+    def _cond_kwargs(self, chunk, cond):
+        kwargs = {}
+        if cond is not None:
+            kwargs["cond"] = self._put(cond)[0]
+        if self.model_cfg.n_speakers and chunk.speakers is not None:
+            kwargs["speakers"] = self._put(chunk.speakers)[0]
+        return kwargs
+
     # -- loops -----------------------------------------------------------
     def run(self, epochs: int | None = None):
         epochs = epochs if epochs is not None else self.train_cfg.epochs
@@ -230,17 +241,12 @@ class Trainer:
                 chunk, cond = self._split_batch(item)
                 args = self._put(chunk.inputs, chunk.targets,
                                  chunk.resets.astype(np.float32))
-                cond_dev = self._put(cond)[0] if cond is not None else None
+                kwargs = self._cond_kwargs(chunk, cond)
                 t0 = time.time()
-                if cond_dev is not None:
-                    (self.params, self.opt_state, self.hiddens,
-                     nll) = self._train_step(
-                        self.params, self.opt_state, self.hiddens, *args,
-                        cond_dev)
-                else:
-                    (self.params, self.opt_state, self.hiddens,
-                     nll) = self._train_step(
-                        self.params, self.opt_state, self.hiddens, *args)
+                (self.params, self.opt_state, self.hiddens,
+                 nll) = self._train_step(
+                    self.params, self.opt_state, self.hiddens, *args,
+                    **kwargs)
                 nll = float(nll)
                 dt = time.time() - t0
                 # profiling hook (SURVEY.md §5): trace steps 10-12 once
@@ -273,12 +279,9 @@ class Trainer:
             chunk, cond = self._split_batch(item)
             args = self._put(chunk.inputs, chunk.targets,
                              chunk.resets.astype(np.float32))
-            cond_dev = self._put(cond)[0] if cond is not None else None
-            if cond_dev is not None:
-                hiddens, nll = self._eval_step(
-                    self.params, hiddens, *args, cond_dev)
-            else:
-                hiddens, nll = self._eval_step(self.params, hiddens, *args)
+            kwargs = self._cond_kwargs(chunk, cond)
+            hiddens, nll = self._eval_step(self.params, hiddens, *args,
+                                           **kwargs)
             total += float(nll)
             n += 1
         return total / max(n, 1)
