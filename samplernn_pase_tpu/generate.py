@@ -160,7 +160,7 @@ def _full_kernel_eligible(cfg, cond, use_pallas, temperature):
 
 
 def _generate_full(params, cfg, n_seqs, length, temperature, key, hist,
-                   initial_states, interpret):
+                   initial_states, interpret, return_state=False):
     """Whole-generation megakernel path, chunked to bound the VMEM
     output buffer (64 top frames = 4096 samples per call at B=128)."""
     from samplernn_pase_tpu.ops.pallas.megagen import generate_full_pallas
@@ -197,13 +197,16 @@ def _generate_full(params, cfg, n_seqs, length, temperature, key, hist,
         c += 1
     levels = blocks[0] if len(blocks) == 1 else jnp.concatenate(blocks,
                                                                 axis=1)
+    if return_state:
+        return levels[:, :length], (h0[None], h1[None]), window
     return levels[:, :length]
 
 
 def generate_levels(params, cfg: SampleRNNConfig, n_seqs: int, length: int,
                     temperature: float | None = 1.0, key=None, cond=None,
                     initial_states=None, hist=None,
-                    use_pallas: bool | str | None = None, speakers=None):
+                    use_pallas: bool | str | None = None, speakers=None,
+                    return_state: bool = False):
     """Generate quantized levels [n_seqs, length] with one fused scan.
 
     length is rounded up to a multiple of lookback internally and trimmed.
@@ -226,7 +229,8 @@ def generate_levels(params, cfg: SampleRNNConfig, n_seqs: int, length: int,
                                             temperature):
         return _generate_full(params, cfg, n_seqs, length, temperature,
                               key, hist, initial_states,
-                              interpret=use_pallas == "interpret")
+                              interpret=use_pallas == "interpret",
+                              return_state=return_state)
     lookback = cfg.lookback
     n_steps = -(-length // lookback)
     top = cfg.n_tiers - 1
@@ -247,10 +251,12 @@ def generate_levels(params, cfg: SampleRNNConfig, n_seqs: int, length: int,
         block = jnp.concatenate(out["blocks"], axis=1)  # [B, lookback]
         return (hist, states, key), block
 
-    (_, _, _), blocks = jax.lax.scan(
+    (hist_f, states_f, _), blocks = jax.lax.scan(
         body, (hist, states0, key), jnp.arange(n_steps))
     # blocks [n_steps, B, lookback] -> [B, n_steps*lookback]
     levels = jnp.moveaxis(blocks, 0, 1).reshape(n_seqs, n_steps * lookback)
+    if return_state:
+        return levels[:, :length], states_f, hist_f
     return levels[:, :length]
 
 
@@ -263,6 +269,48 @@ def generate(params, cfg: SampleRNNConfig, n_seqs: int, length: int,
     if cfg.codec == "linear":
         return linear_dequantize(levels, cfg.q_levels)
     return mu_law_decode(levels, cfg.q_levels)
+
+
+class StreamingGenerator:
+    """Stateful serving-style decoder: emit audio in chunks, carrying
+    per-tier hidden state and the sample-history window across calls —
+    the decode-side mirror of TBPTT state carry.
+
+    Chunk lengths must be multiples of cfg.lookback. Conditioned configs
+    stream per-chunk conditioning through ``emit(cond=...)``.
+    """
+
+    def __init__(self, params, cfg: SampleRNNConfig, n_seqs: int,
+                 temperature: float | None = 1.0, key=None,
+                 use_pallas: bool | str | None = None):
+        self.params, self.cfg, self.n = params, cfg, n_seqs
+        self.temperature = temperature
+        self.key = key if key is not None else jax.random.PRNGKey(0)
+        self.use_pallas = use_pallas
+        self.states = samplernn.initial_state(params, cfg, n_seqs)
+        self.hist = jnp.full((n_seqs, cfg.lookback),
+                             quantize_zero(cfg.q_levels), jnp.int32)
+
+    def emit(self, n_samples: int, cond=None, speakers=None):
+        """Generate the next n_samples levels [n_seqs, n_samples]."""
+        if n_samples % self.cfg.lookback:
+            raise ValueError(
+                f"n_samples must be a multiple of lookback "
+                f"({self.cfg.lookback})")
+        self.key, sub = jax.random.split(self.key)
+        levels, states, hist = generate_levels(
+            self.params, self.cfg, self.n, n_samples, self.temperature,
+            sub, cond=cond, initial_states=self.states, hist=self.hist,
+            use_pallas=self.use_pallas, speakers=speakers,
+            return_state=True)
+        self.states, self.hist = states, hist
+        return levels
+
+    def emit_waveform(self, n_samples: int, cond=None, speakers=None):
+        levels = self.emit(n_samples, cond, speakers)
+        if self.cfg.codec == "linear":
+            return linear_dequantize(levels, self.cfg.q_levels)
+        return mu_law_decode(levels, self.cfg.q_levels)
 
 
 def make_generator(cfg: SampleRNNConfig, n_seqs: int, length: int,
