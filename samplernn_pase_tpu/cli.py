@@ -157,10 +157,20 @@ def cmd_generate(args):
     if args.cond:
         emb = np.load(args.cond)
         cond = np.broadcast_to(emb[None], (n, *emb.shape))
-    wav = gen.generate(params, exp.model, n, length,
-                       args.temperature or gcfg.temperature,
-                       jax.random.PRNGKey(args.seed or gcfg.seed),
-                       cond=None if cond is None else np.asarray(cond))
+    speakers = None
+    if args.speaker is not None:
+        speakers = np.full((n,), args.speaker, np.int32)
+    levels = gen.generate_levels(
+        params, exp.model, n, length,
+        args.temperature or gcfg.temperature,
+        jax.random.PRNGKey(args.seed or gcfg.seed),
+        cond=None if cond is None else np.asarray(cond),
+        speakers=speakers)
+    from samplernn_pase_tpu.ops.mulaw import (
+        linear_dequantize, mu_law_decode)
+    wav = (linear_dequantize(levels, exp.model.q_levels)
+           if exp.model.codec == "linear"
+           else mu_law_decode(levels, exp.model.q_levels))
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
     for i in range(n):
@@ -206,6 +216,8 @@ def main(argv=None):
     pg.add_argument("--temperature", type=float)
     pg.add_argument("--seed", type=int)
     pg.add_argument("--cond", help=".npy PASE embedding for TTS")
+    pg.add_argument("--speaker", type=int,
+                    help="speaker id (models trained with n_speakers)")
     pg.set_defaults(fn=cmd_generate)
 
     args = p.parse_args(argv)

@@ -62,9 +62,9 @@ def _decode_tier(params, cfg, k, hist, states, key, pos, cond, upper_vec,
     """
     ext = (_ext_cond_vec(cond, pos, cfg.cond_rate)
            if cfg.cond_dim else None)
-    if k == 0 and out["pallas"] and cfg.rnn_type == "gru" and cfg.n_rnn == 1:
-        # mega-kernel: tier-0 GRU + upsample + f1 MLP steps in one
-        # pallas call (weights + cond rows never leave VMEM)
+    if k == 0 and out["pallas"] and cfg.n_rnn == 1:
+        # fused tier-frame kernel: tier-0 GRU/LSTM + upsample + f1 MLP
+        # steps in one pallas call (weights + cond rows never leave VMEM)
         from samplernn_pase_tpu.ops.pallas.decode import (
             fused_tier_frame_decode)
         f1 = cfg.frame_sizes[0]
@@ -81,8 +81,11 @@ def _decode_tier(params, cfg, k, hist, states, key, pos, cond, upper_vec,
         samples, h_new = fused_tier_frame_decode(
             hist[:, -f1:], up, states[0][0], temp, sub,
             params["tiers"][0], params["mlp"], q_levels=cfg.q_levels,
+            rnn_type=cfg.rnn_type,
             interpret=out["pallas"] == "interpret")
-        states = (h_new[None],) + states[1:]
+        # h_new [n_state, B, H] -> tier state [n_rnn=1, (2,)? B, H]
+        new0 = h_new if cfg.rnn_type == "gru" else h_new[None]
+        states = (new0,) + states[1:]
         out["blocks"].append(samples)
         hist = jnp.concatenate([hist[:, f1:], samples], axis=1)
         return hist, states, key

@@ -75,21 +75,23 @@ def _kernel(f1, q_levels, temp_ref, window_ref, cond_ref, noise_ref,
     out_ref[:] = jnp.concatenate(cols, axis=1)
 
 
-def _tier_frame_kernel(f1, q_levels, temp_ref, window_ref, upper_ref,
-                       h_ref, noise_ref, wf_ref, bf_ref, wih_ref, bih_ref,
-                       whh_ref, bhh_ref, wup_ref, bup_ref, embed_ref,
-                       w_in_ref, b_in_ref, w_h_ref, b_h_ref, w_out_ref,
-                       b_out_ref, out_ref, hout_ref):
-    """Whole bottom-tier frame step in VMEM: GRU cell + lazy learned
+def _tier_frame_kernel(f1, q_levels, rnn_type, temp_ref, window_ref,
+                       upper_ref, h_ref, noise_ref, wf_ref, bf_ref,
+                       wih_ref, bih_ref, whh_ref, bhh_ref, wup_ref,
+                       bup_ref, embed_ref, w_in_ref, b_in_ref, w_h_ref,
+                       b_h_ref, w_out_ref, b_out_ref, out_ref, hout_ref):
+    """Whole bottom-tier frame step in VMEM: GRU/LSTM cell + lazy learned
     upsampling + f1 fused MLP decode steps (see fused_tier_frame_decode).
+
+    h_ref / hout_ref: [1, B, H] for gru, [2, B, H] (h, c) for lstm.
     """
     b = window_ref.shape[0]
     e = embed_ref.shape[1]
-    hdim = h_ref.shape[1]
+    hdim = h_ref.shape[-1]
     temp = temp_ref[0]
     embed = embed_ref[:]
 
-    # ---- bottom-tier GRU step (cuDNN gate order r,z,n; f32 gates) ----
+    # ---- bottom-tier recurrent step (cuDNN gate order; f32 gates) ----
     q_half = jnp.float32(q_levels / 2.0)
     frame_f = window_ref[:].astype(jnp.float32) / q_half - 1.0
     x = jnp.dot(frame_f.astype(wf_ref.dtype), wf_ref[:],
@@ -97,16 +99,28 @@ def _tier_frame_kernel(f1, q_levels, temp_ref, window_ref, upper_ref,
     x = x + upper_ref[:]
     xg = jnp.dot(x.astype(wih_ref.dtype), wih_ref[:],
                  preferred_element_type=jnp.float32) + bih_ref[:]
-    h_prev = h_ref[:]
+    h_prev = h_ref[0]
     hg = jnp.dot(h_prev.astype(whh_ref.dtype), whh_ref[:],
                  preferred_element_type=jnp.float32) + bhh_ref[:]
-    xr, xz, xn = xg[:, :hdim], xg[:, hdim:2 * hdim], xg[:, 2 * hdim:]
-    hr, hz, hn = hg[:, :hdim], hg[:, hdim:2 * hdim], hg[:, 2 * hdim:]
-    r = jax.nn.sigmoid(xr + hr)
-    z = jax.nn.sigmoid(xz + hz)
-    n = jnp.tanh(xn + r * hn)
-    h_new = (1.0 - z) * n + z * h_prev
-    hout_ref[:] = h_new
+    if rnn_type == "gru":
+        xr, xz, xn = xg[:, :hdim], xg[:, hdim:2 * hdim], xg[:, 2 * hdim:]
+        hr, hz, hn = hg[:, :hdim], hg[:, hdim:2 * hdim], hg[:, 2 * hdim:]
+        r = jax.nn.sigmoid(xr + hr)
+        z = jax.nn.sigmoid(xz + hz)
+        n = jnp.tanh(xn + r * hn)
+        h_new = (1.0 - z) * n + z * h_prev
+        hout_ref[0] = h_new
+    else:  # lstm: gates i, f, g, o
+        g = xg + hg
+        c_prev = h_ref[1]
+        i_g = jax.nn.sigmoid(g[:, :hdim])
+        f_g = jax.nn.sigmoid(g[:, hdim:2 * hdim])
+        g_g = jnp.tanh(g[:, 2 * hdim:3 * hdim])
+        o_g = jax.nn.sigmoid(g[:, 3 * hdim:])
+        c_new = f_g * c_prev + i_g * g_g
+        h_new = o_g * jnp.tanh(c_new)
+        hout_ref[0] = h_new
+        hout_ref[1] = c_new
     h_bf = h_new.astype(wup_ref.dtype)
 
     # ---- f1 fused decode steps; cond row i computed lazily from h ----
@@ -134,25 +148,30 @@ def _tier_frame_kernel(f1, q_levels, temp_ref, window_ref, upper_ref,
     out_ref[:] = jnp.concatenate(cols, axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("q_levels", "interpret"))
+@functools.partial(jax.jit, static_argnames=("q_levels", "rnn_type",
+                                             "interpret"))
 def fused_tier_frame_decode(window, upper_cond, h_prev, temperature, key,
                             tier_params, mlp_params, *,
-                            q_levels: int = 256, interpret: bool = False):
-    """One FULL bottom-tier frame in a single kernel: the tier-0 GRU step,
-    the learned x f1 upsampling (computed lazily, one cond row per decode
-    step, straight from VMEM), and the f1 autoregressive MLP sample steps.
+                            q_levels: int = 256, rnn_type: str = "gru",
+                            interpret: bool = False):
+    """One FULL bottom-tier frame in a single kernel: the tier-0 GRU/LSTM
+    step, the learned x f1 upsampling (computed lazily, one cond row per
+    decode step, straight from VMEM), and the f1 autoregressive MLP
+    sample steps.
 
     Versus fused_frame_decode this also keeps the [B, f1, H] conditioning
     tensor entirely on-chip (saves ~2 x 8 MB of HBM round-trip per frame
-    at dim 1024) and loads the GRU + upsample weights once per frame.
-    Requires rnn_type='gru', n_rnn=1 (the flagship config); other configs
-    use the smaller kernel + XLA tier step.
+    at dim 1024) and loads the RNN + upsample weights once per frame.
+    Requires n_rnn=1; other configs use the smaller kernel + XLA tier
+    step.
 
-    window [B, f1] int32; upper_cond [B, H] f32 (tier-1 conditioning row);
-    h_prev [B, H] f32.  Returns (samples [B, f1] int32, h_new [B, H] f32).
+    window [B, f1] int32; upper_cond [B, H] f32 (tier-1 conditioning
+    row); h_prev [1|2, B, H] f32 (h for gru; h,c for lstm).  Returns
+    (samples [B, f1] int32, h_new [1|2, B, H] f32).
     """
     b, f1 = window.shape
-    hdim = h_prev.shape[1]
+    hdim = h_prev.shape[-1]
+    n_state = 1 if rnn_type == "gru" else 2
     wt = jnp.bfloat16
     rnn = tier_params["rnn"][0]
     noise = jax.random.gumbel(key, (f1, b, q_levels), jnp.float32)
@@ -160,14 +179,14 @@ def fused_tier_frame_decode(window, upper_cond, h_prev, temperature, key,
         jnp.asarray(temperature, jnp.float32).reshape(1),
         window.astype(jnp.int32),
         upper_cond.astype(jnp.float32),
-        h_prev.astype(jnp.float32),
+        h_prev.astype(jnp.float32).reshape(n_state, b, hdim),
         noise,
         _wn(tier_params["w_in"]).astype(wt),
         tier_params["b_in"].astype(jnp.float32).reshape(1, hdim),
         rnn["w_ih"].astype(wt),
-        rnn["b_ih"].astype(jnp.float32).reshape(1, 3 * hdim),
+        rnn["b_ih"].astype(jnp.float32).reshape(1, (n_state + 2) * hdim),
         rnn["w_hh"].astype(wt),
-        rnn["b_hh"].astype(jnp.float32).reshape(1, 3 * hdim),
+        rnn["b_hh"].astype(jnp.float32).reshape(1, (n_state + 2) * hdim),
         _wn(tier_params["w_up"]).astype(wt),
         tier_params["b_up"].astype(jnp.float32),
         mlp_params["embed"].astype(wt),
@@ -181,9 +200,9 @@ def fused_tier_frame_decode(window, upper_cond, h_prev, temperature, key,
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        functools.partial(_tier_frame_kernel, f1, q_levels),
+        functools.partial(_tier_frame_kernel, f1, q_levels, rnn_type),
         out_shape=(jax.ShapeDtypeStruct((b, f1), jnp.int32),
-                   jax.ShapeDtypeStruct((b, hdim), jnp.float32)),
+                   jax.ShapeDtypeStruct((n_state, b, hdim), jnp.float32)),
         in_specs=[smem] + [vmem] * 19,
         out_specs=(vmem, vmem),
         compiler_params=pltpu.CompilerParams(
