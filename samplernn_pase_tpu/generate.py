@@ -81,7 +81,7 @@ def _decode_tier(params, cfg, k, hist, states, key, pos, cond, upper_vec,
         samples, h_new = fused_tier_frame_decode(
             hist[:, -f1:], up, states[0][0], temp, sub,
             params["tiers"][0], params["mlp"], q_levels=cfg.q_levels,
-            rnn_type=cfg.rnn_type,
+            rnn_type=cfg.rnn_type, weights_dtype=cfg.compute_dtype,
             interpret=out["pallas"] == "interpret")
         # h_new [n_state, B, H] -> tier state [n_rnn=1, (2,)? B, H]
         new0 = h_new if cfg.rnn_type == "gru" else h_new[None]
@@ -103,7 +103,7 @@ def _decode_tier(params, cfg, k, hist, states, key, pos, cond, upper_vec,
             temp = out["temperature"] if out["temperature"] else 0.0
             samples = fused_frame_decode(
                 hist[:, -f1:], cond_rows, temp, sub, params["mlp"],
-                q_levels=cfg.q_levels,
+                q_levels=cfg.q_levels, weights_dtype=cfg.compute_dtype,
                 interpret=out["pallas"] == "interpret")
             out["blocks"].append(samples)
             hist = jnp.concatenate([hist[:, f1:], samples], axis=1)
@@ -149,7 +149,9 @@ def _megakernel_weight_bytes(cfg):
 
 def _full_kernel_eligible(cfg, cond, use_pallas, temperature):
     """Route to the whole-generation megakernel (ops/pallas/megagen.py)?"""
-    if cond is not None or cfg.cond_dim:
+    if cfg.cond_dim and cond is None:
+        return False  # conditioned model without a stream: fallback
+    if cond is not None and not (cfg.cond_dim and cfg.cond_rate):
         return False
     if cfg.n_tiers != 2 or cfg.rnn_type != "gru" or cfg.n_rnn != 1:
         return False
@@ -163,9 +165,15 @@ def _full_kernel_eligible(cfg, cond, use_pallas, temperature):
 
 
 def _generate_full(params, cfg, n_seqs, length, temperature, key, hist,
-                   initial_states, interpret, return_state=False):
+                   initial_states, interpret, return_state=False,
+                   cond=None):
     """Whole-generation megakernel path, chunked to bound the VMEM
-    output buffer (64 top frames = 4096 samples per call at B=128)."""
+    output buffer (64 top frames = 4096 samples per call at B=128).
+
+    Conditioned decode: the conditioning stream is projected through the
+    bottom tier's w_cond ONCE out here (one big MXU matmul) and the
+    per-chunk rows ride into the kernel's VMEM.
+    """
     from samplernn_pase_tpu.ops.pallas.megagen import generate_full_pallas
 
     lookback = cfg.lookback
@@ -176,6 +184,16 @@ def _generate_full(params, cfg, n_seqs, length, temperature, key, hist,
     window = (hist if hist is not None
               else jnp.full((n_seqs, lookback),
                             quantize_zero(cfg.q_levels), jnp.int32))
+    ext_all = None
+    if cond is not None:
+        dt = jnp.dtype(cfg.compute_dtype)
+
+        def proj(tier):
+            e = jnp.matmul(cond.astype(dt), tier["w_cond"].astype(dt),
+                           preferred_element_type=jnp.float32)
+            return jnp.moveaxis(e, 0, 1)          # [n_rows, B, H]
+
+        ext_all = (proj(params["tiers"][0]), proj(params["tiers"][1]))
     chunk_top = max(1, min(n_top, (8 << 20) // (n_seqs * lookback * 4)))
     blocks = []
     done = 0
@@ -185,12 +203,33 @@ def _generate_full(params, cfg, n_seqs, length, temperature, key, hist,
         sub = jax.random.fold_in(key, c)
         seed = jax.random.randint(sub, (), 0, jnp.iinfo(jnp.int32).max,
                                   dtype=jnp.int32)
+        cond_kw = {}
+        if ext_all is not None:
+            s0 = done * lookback
+            s1 = (done + step_top) * lookback
+            r0 = s0 // cfg.cond_rate
+            need = (s1 - 1) // cfg.cond_rate + 1 - r0
+
+            def rows_of(ext):
+                rows = ext[r0:min(r0 + need, ext.shape[0])]
+                if rows.shape[0] < need:   # pad: clamp to last row
+                    pad = jnp.broadcast_to(
+                        rows[-1:],
+                        (need - rows.shape[0], *rows.shape[1:]))
+                    rows = jnp.concatenate([rows, pad], axis=0)
+                return rows
+
+            cond_kw = dict(
+                cond_rate=cfg.cond_rate,
+                ext_proj=(rows_of(ext_all[0]), rows_of(ext_all[1])),
+                cond_offsets=jnp.asarray([s0, r0], jnp.int32))
         blocks3d, h0, h1 = generate_full_pallas(
             window, h0, h1,
             0.0 if temperature is None else temperature, seed,
             params["tiers"][0], params["tiers"][1], params["mlp"],
             n_top=step_top, q_levels=cfg.q_levels,
-            deterministic=temperature is None, interpret=interpret)
+            deterministic=temperature is None, interpret=interpret,
+            weights_dtype=cfg.compute_dtype, **cond_kw)
         # [n_top, B, lookback] -> [B, n_top*lookback]
         samples = jnp.moveaxis(blocks3d, 0, 1).reshape(
             n_seqs, step_top * lookback)
@@ -233,7 +272,7 @@ def generate_levels(params, cfg: SampleRNNConfig, n_seqs: int, length: int,
         return _generate_full(params, cfg, n_seqs, length, temperature,
                               key, hist, initial_states,
                               interpret=use_pallas == "interpret",
-                              return_state=return_state)
+                              return_state=return_state, cond=cond)
     lookback = cfg.lookback
     n_steps = -(-length // lookback)
     top = cfg.n_tiers - 1

@@ -149,10 +149,11 @@ def _tier_frame_kernel(f1, q_levels, rnn_type, temp_ref, window_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("q_levels", "rnn_type",
-                                             "interpret"))
+                                             "weights_dtype", "interpret"))
 def fused_tier_frame_decode(window, upper_cond, h_prev, temperature, key,
                             tier_params, mlp_params, *,
                             q_levels: int = 256, rnn_type: str = "gru",
+                            weights_dtype: str = "bfloat16",
                             interpret: bool = False):
     """One FULL bottom-tier frame in a single kernel: the tier-0 GRU/LSTM
     step, the learned x f1 upsampling (computed lazily, one cond row per
@@ -172,7 +173,7 @@ def fused_tier_frame_decode(window, upper_cond, h_prev, temperature, key,
     b, f1 = window.shape
     hdim = h_prev.shape[-1]
     n_state = 1 if rnn_type == "gru" else 2
-    wt = jnp.bfloat16
+    wt = jnp.dtype(weights_dtype)
     rnn = tier_params["rnn"][0]
     noise = jax.random.gumbel(key, (f1, b, q_levels), jnp.float32)
     args = (
@@ -211,9 +212,12 @@ def fused_tier_frame_decode(window, upper_cond, h_prev, temperature, key,
     )(*args)
 
 
-@functools.partial(jax.jit, static_argnames=("q_levels", "interpret"))
+@functools.partial(jax.jit, static_argnames=("q_levels", "weights_dtype",
+                                             "interpret"))
 def fused_frame_decode(window, cond, temperature, key, mlp_params, *,
-                       q_levels: int = 256, interpret: bool = False):
+                       q_levels: int = 256,
+                       weights_dtype: str = "bfloat16",
+                       interpret: bool = False):
     """Decode one bottom frame (f1 autoregressive samples) for all lanes.
 
     window  [B, f1] int32   — the f1 samples preceding this frame
@@ -225,7 +229,7 @@ def fused_frame_decode(window, cond, temperature, key, mlp_params, *,
     """
     b, f1 = window.shape
     hdim = mlp_params["b_h"].shape[0]
-    wt = jnp.bfloat16
+    wt = jnp.dtype(weights_dtype)
 
     cond_t = jnp.moveaxis(cond, 1, 0).astype(jnp.float32)  # [f1, B, H]
     noise = jax.random.gumbel(key, (f1, b, q_levels), jnp.float32)

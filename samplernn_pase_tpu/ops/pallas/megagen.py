@@ -51,14 +51,20 @@ def _gru(x, h, wih, bih, whh, bhh, hdim):
     return (1.0 - z) * n + z * h
 
 
-def _kernel(f1, f2, n_top, q_levels, deterministic,
-            seed_ref, temp_ref, win_ref, h0_ref, h1_ref,
-            wf0_ref, bf0_ref, wih0_ref, bih0_ref, whh0_ref, bhh0_ref,
-            wup0_ref, bup0_ref,
-            wf1_ref, bf1_ref, wih1_ref, bih1_ref, whh1_ref, bhh1_ref,
-            wup1_ref, bup1_ref,
-            embed_ref, wmi_ref, bmi_ref, wmh_ref, bmh_ref, wmo_ref,
-            bmo_ref, out_ref, h0out_ref, h1out_ref):
+def _kernel(f1, f2, n_top, q_levels, deterministic, cond_rate,
+            seed_ref, temp_ref, *refs):
+    if cond_rate:
+        # per-tier projected conditioning streams (every tier receives
+        # the external conditioning, like the teacher-forced forward)
+        (coff_ref, ext0_ref, ext1_ref) = refs[:3]
+        refs = refs[3:]
+    (win_ref, h0_ref, h1_ref,
+     wf0_ref, bf0_ref, wih0_ref, bih0_ref, whh0_ref, bhh0_ref,
+     wup0_ref, bup0_ref,
+     wf1_ref, bf1_ref, wih1_ref, bih1_ref, whh1_ref, bhh1_ref,
+     wup1_ref, bup1_ref,
+     embed_ref, wmi_ref, bmi_ref, wmh_ref, bmh_ref, wmo_ref,
+     bmo_ref, out_ref, h0out_ref, h1out_ref) = refs
     b = win_ref.shape[0]
     lookback = f1 * f2
     e = embed_ref.shape[1]
@@ -108,11 +114,18 @@ def _kernel(f1, f2, n_top, q_levels, deterministic,
         block16 = jnp.concatenate([block16[:, 1:], sample], axis=1)
         return (emb_win, block16, h0_bf)
 
-    def bottom_body(j, carry):
+    def bottom_body(j, t, carry):
         emb_win, win16, h0, h1_bf = carry
         upper = jnp.dot(h1_bf, wup1_ref[:, pl.ds(j * hdim, hdim)],
                         preferred_element_type=jnp.float32) \
             + bup1_ref[pl.ds(j, 1), :]
+        if cond_rate:
+            # external conditioning row active at this frame's first
+            # sample (projected to H outside the kernel; coff_ref =
+            # [global sample offset of this chunk, first resident row])
+            pos = coff_ref[0] + (t * f2 + j) * f1
+            row = pos // cond_rate - coff_ref[1]
+            upper = upper + ext0_ref[row]
         x0 = jnp.dot(dequant(win16).astype(wf0_ref.dtype), wf0_ref[:],
                      preferred_element_type=jnp.float32) \
             + bf0_ref[:] + upper
@@ -127,13 +140,16 @@ def _kernel(f1, f2, n_top, q_levels, deterministic,
         emb_win, frame64, win16, h0, h1 = carry
         x1 = jnp.dot(dequant(frame64).astype(wf1_ref.dtype), wf1_ref[:],
                      preferred_element_type=jnp.float32) + bf1_ref[:]
+        if cond_rate:
+            pos = coff_ref[0] + t * lookback
+            x1 = x1 + ext1_ref[pos // cond_rate - coff_ref[1]]
         h1 = _gru(x1, h1, wih1_ref[:], bih1_ref[:], whh1_ref[:],
                   bhh1_ref[:], hdim)
         frame_cols = []
         for j in range(f2):   # f2 is small (4): cheap static unroll so
             # the new 64-sample frame can be assembled with static shapes
             emb_win, win16, h0, _ = bottom_body(
-                j, (emb_win, win16, h0, h1.astype(wup1_ref.dtype)))
+                j, t, (emb_win, win16, h0, h1.astype(wup1_ref.dtype)))
             frame_cols.append(win16)
         new_frame = jnp.concatenate(frame_cols, axis=1)  # [B, lookback]
         # output is [n_top, B, lookback]: dynamic index on the leading
@@ -153,11 +169,15 @@ def _kernel(f1, f2, n_top, q_levels, deterministic,
 
 
 @functools.partial(jax.jit, static_argnames=("n_top", "q_levels",
-                                             "deterministic", "interpret"))
+                                             "deterministic", "interpret",
+                                             "cond_rate", "weights_dtype"))
 def generate_full_pallas(window, h0, h1, temperature, seed, tier0, tier1,
                          mlp, *, n_top: int, q_levels: int = 256,
                          deterministic: bool = False,
-                         interpret: bool = False):
+                         interpret: bool = False,
+                         cond_rate: int = 0, ext_proj=None,
+                         cond_offsets=None,
+                         weights_dtype: str = "bfloat16"):
     """Run the full generation megakernel.
 
     window [B, lookback] int32 seed context; h0/h1 [B, H] f32 initial
@@ -165,13 +185,19 @@ def generate_full_pallas(window, h0, h1, temperature, seed, tier0, tier1,
     h0_final, h1_final) so long generations can be chunked without
     blowing the VMEM output buffer. Callers flatten the sample blocks
     to [B, n_top * lookback].
+
+    Conditioned decode (TTS): pass cond_rate (samples per conditioning
+    frame), ext_proj = (ext0, ext1) each [n_rows, B, H] f32 (the
+    conditioning stream projected through tier0's / tier1's w_cond) and
+    cond_offsets = int32 [global sample offset of this chunk, first row
+    index resident in ext_proj].
     """
     b, lookback = window.shape
     hdim = h0.shape[1]
     f1 = tier0["b_up"].shape[0]
     f2 = tier1["b_up"].shape[0]
     assert f1 * f2 == lookback, (f1, f2, lookback)
-    wt = jnp.bfloat16
+    wt = jnp.dtype(weights_dtype)
 
     def prep(t):
         r = t["rnn"][0]
@@ -184,9 +210,15 @@ def generate_full_pallas(window, h0, h1, temperature, seed, tier0, tier1,
                 _wn(t["w_up"]).astype(wt),
                 t["b_up"].astype(jnp.float32))
 
+    cond_args = ()
+    if cond_rate:
+        ext0, ext1 = ext_proj
+        cond_args = (jnp.asarray(cond_offsets, jnp.int32).reshape(2),
+                     ext0.astype(jnp.float32), ext1.astype(jnp.float32))
     args = (
         jnp.asarray(seed, jnp.int32).reshape(1),
         jnp.asarray(temperature, jnp.float32).reshape(1),
+        *cond_args,
         window.astype(jnp.int32),
         h0.astype(jnp.float32),
         h1.astype(jnp.float32),
@@ -202,14 +234,17 @@ def generate_full_pallas(window, h0, h1, temperature, seed, tier0, tier1,
     )
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    n_smem = 3 if cond_rate else 2   # seed, temp[, cond offsets];
+    # ext0/ext1 land in VMEM right after the SMEM scalars
     return pl.pallas_call(
-        functools.partial(_kernel, f1, f2, n_top, q_levels, deterministic),
+        functools.partial(_kernel, f1, f2, n_top, q_levels, deterministic,
+                          cond_rate),
         out_shape=(
             jax.ShapeDtypeStruct((n_top, b, lookback), jnp.int32),
             jax.ShapeDtypeStruct((b, hdim), jnp.float32),
             jax.ShapeDtypeStruct((b, hdim), jnp.float32),
         ),
-        in_specs=[smem, smem] + [vmem] * (len(args) - 2),
+        in_specs=[smem] * n_smem + [vmem] * (len(args) - n_smem),
         out_specs=(vmem, vmem, vmem),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),

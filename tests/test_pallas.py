@@ -111,6 +111,8 @@ def test_generate_pallas_small_kernel_path_lstm():
 
 
 def test_generate_pallas_conditioned_matches_greedy():
+    """Conditioned greedy decode: the MEGAKERNEL path (gru/n_rnn=1 with
+    cond streams) must equal XLA exactly."""
     cfg = SampleRNNConfig(frame_sizes=(4, 2), dim=16, embed_dim=8,
                           cond_dim=6, cond_rate=8, compute_dtype="float32")
     params = samplernn.init_params(jax.random.PRNGKey(3), cfg)
@@ -122,3 +124,58 @@ def test_generate_pallas_conditioned_matches_greedy():
     got = gen.generate_levels(params, cfg, 2, t, temperature=None,
                               cond=cond, use_pallas="interpret")
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
+def test_conditioned_megakernel_short_cond_padding():
+    """Conditioning shorter than the decode length: the kernel clamps to
+    the last row, matching the XLA path's index clip."""
+    cfg = SampleRNNConfig(frame_sizes=(4, 2), dim=16, embed_dim=8,
+                          cond_dim=6, cond_rate=8, compute_dtype="float32")
+    params = samplernn.init_params(jax.random.PRNGKey(5), cfg)
+    t = cfg.lookback * 4
+    cond = jax.random.normal(jax.random.PRNGKey(6),
+                             (2, t // cfg.cond_rate - 1, cfg.cond_dim))
+    ref = gen.generate_levels(params, cfg, 2, t, temperature=None,
+                              cond=cond, use_pallas=False)
+    got = gen.generate_levels(params, cfg, 2, t, temperature=None,
+                              cond=cond, use_pallas="interpret")
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
+def test_lstm_tier_kernel_used_for_lstm_configs():
+    """n_rnn=1 LSTM routes through fused_tier_frame_decode (not just the
+    small kernel): verify directly."""
+    from samplernn_pase_tpu.ops.pallas.decode import fused_tier_frame_decode
+    from samplernn_pase_tpu.models import frame_rnn
+    cfg = SampleRNNConfig(frame_sizes=(4, 2), dim=16, embed_dim=8,
+                          rnn_type="lstm", compute_dtype="float32")
+    params = samplernn.init_params(jax.random.PRNGKey(7), cfg)
+    rng = np.random.default_rng(0)
+    window = jnp.asarray(rng.integers(0, 256, (2, 4), np.int32))
+    upper = jnp.asarray(rng.normal(size=(2, 16)).astype(np.float32))
+    h = jnp.zeros((2, 2, 16))  # [h/c, B, H]
+    samples, h_new = fused_tier_frame_decode(
+        window, upper, h, 0.0, jax.random.PRNGKey(0),
+        params["tiers"][0], params["mlp"], q_levels=256,
+        rnn_type="lstm", weights_dtype="float32", interpret=True)
+    assert samples.shape == (2, 4)
+    assert h_new.shape == (2, 2, 16)
+    # reference: XLA tier step + greedy MLP loop
+    from samplernn_pase_tpu.ops.mulaw import levels_to_float
+    cond_rows, state_new = frame_rnn.tier_step(
+        params["tiers"][0], levels_to_float(window, 256), upper, None,
+        h[None], frame_size=4, rnn_type="lstm",
+        compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(h_new), np.asarray(state_new[0]),
+                               atol=1e-5)
+    from samplernn_pase_tpu.models import sample_mlp
+    win = window
+    want = []
+    for i in range(4):
+        logits = sample_mlp.mlp_step(params["mlp"], win, cond_rows[:, i],
+                                     jnp.float32)
+        s = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        want.append(np.asarray(s))
+        win = jnp.concatenate([win[:, 1:], s[:, None]], axis=1)
+    np.testing.assert_array_equal(np.asarray(samples),
+                                  np.stack(want, axis=1))
