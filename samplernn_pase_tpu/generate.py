@@ -158,6 +158,8 @@ def _full_kernel_eligible(cfg, cond, use_pallas, temperature):
     # all weights must fit resident in VMEM (v5e-class: ~128 MB)
     if _megakernel_weight_bytes(cfg) > 100 * 1024 * 1024:
         return False
+    if use_pallas == "frame":
+        return False   # explicit per-frame kernel path
     if use_pallas in (True, "full"):
         return True
     # interpreter mode lacks the on-core PRNG: greedy only
@@ -195,6 +197,10 @@ def _generate_full(params, cfg, n_seqs, length, temperature, key, hist,
 
         ext_all = (proj(params["tiers"][0]), proj(params["tiers"][1]))
     chunk_top = max(1, min(n_top, (8 << 20) // (n_seqs * lookback * 4)))
+    if ext_all is not None:
+        # conditioned chunks are bounded by the VMEM-resident cond
+        # streams (~n_rows * B * H * 2 bytes each), not the output buffer
+        chunk_top = min(chunk_top, 64)
     blocks = []
     done = 0
     c = 0
@@ -253,10 +259,18 @@ def generate_levels(params, cfg: SampleRNNConfig, n_seqs: int, length: int,
 
     length is rounded up to a multiple of lookback internally and trimmed.
     temperature=None (or 0) means greedy argmax.  use_pallas: None = auto
-    (Pallas frame-decode kernel on TPU, plain XLA elsewhere); True/False
-    force; "interpret" runs the kernel in interpreter mode (CPU tests).
-    speakers [n_seqs] int32 ids fold the learned speaker embedding into
-    the conditioning stream (cfg.n_speakers).
+    (Pallas kernels on TPU, plain XLA elsewhere); True/False force;
+    "full" = whole-generation megakernel; "frame" = per-frame kernels
+    only; "interpret" = interpreter mode (CPU tests).  speakers [n_seqs]
+    int32 ids fold the learned speaker embedding into the conditioning
+    stream (cfg.n_speakers).
+
+    Note on conditioned decode: the megakernel projects the conditioning
+    stream once up front while the XLA path projects per frame; in bf16
+    the resulting float noise can flip an occasional argmax and (being
+    autoregressive) decorrelate streams vs the XLA path — use "frame"
+    when cross-path reproducibility matters more than peak throughput
+    (greedy parity is exact in f32, see tests/test_pallas.py).
     """
     key = key if key is not None else jax.random.PRNGKey(0)
     if speakers is not None:

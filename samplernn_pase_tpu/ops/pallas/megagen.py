@@ -212,6 +212,8 @@ def generate_full_pallas(window, h0, h1, temperature, seed, tier0, tier1,
 
     cond_args = ()
     if cond_rate:
+        # f32 streams (bf16 here breaks bit-parity with the XLA path);
+        # the caller bounds the chunk so both fit VMEM (128 MB on v5e)
         ext0, ext1 = ext_proj
         cond_args = (jnp.asarray(cond_offsets, jnp.int32).reshape(2),
                      ext0.astype(jnp.float32), ext1.astype(jnp.float32))
