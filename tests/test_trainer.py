@@ -97,3 +97,15 @@ def test_tbptt_reset_only_on_utterance_boundary():
     t.run()
     # after training the carried hiddens are nonzero
     assert any(float(jnp.abs(h).max()) > 0 for h in t.hiddens)
+
+
+def test_generator_plugin_writes_wavs(tmp_path):
+    corpus = synthetic_corpus(n_utts=1, length=1024, seed=9)
+    tcfg = TrainConfig(batch_size=1, seq_len=256, epochs=1)
+    t = tr.Trainer(CFG, tcfg, corpus)
+    plug = tr.GeneratorPlugin(tmp_path / "samples", every_steps=2,
+                              n_seqs=1, length=CFG.lookback * 2)
+    t.plugins.append(plug)
+    t.run()
+    wavs = list((tmp_path / "samples").glob("*.wav"))
+    assert wavs, "GeneratorPlugin produced no audio artifacts"
