@@ -139,12 +139,13 @@ def _decode_tier(params, cfg, k, hist, states, key, pos, cond, upper_vec,
 def _megakernel_weight_bytes(cfg):
     """bf16 VMEM footprint of the megakernel's resident weights."""
     h, e, q = cfg.dim, cfg.embed_dim, cfg.q_levels
-    f1, f2 = cfg.frame_sizes
-    per_tier = (3 * h * h) * 2 + h * h  # w_ih + w_hh (+input proj approx)
-    tier0 = f1 * h + per_tier + h * f1 * h
-    tier1 = f1 * f2 * h + per_tier + h * f2 * h
-    mlp = q * e + f1 * e * h + h * h + h * q
-    return 2 * (tier0 + tier1 + mlp)
+    gates = 3 if cfg.rnn_type == "gru" else 4
+    total = q * e + cfg.frame_sizes[0] * e * h + h * h + h * q  # mlp
+    for k, f in enumerate(cfg.frame_sizes):
+        total += (cfg.tier_spans[k] * h          # input proj
+                  + 2 * gates * h * h            # w_ih + w_hh
+                  + h * f * h)                   # upsample
+    return 2 * total
 
 
 def _full_kernel_eligible(cfg, cond, use_pallas, temperature):
@@ -153,7 +154,7 @@ def _full_kernel_eligible(cfg, cond, use_pallas, temperature):
         return False  # conditioned model without a stream: fallback
     if cond is not None and not (cfg.cond_dim and cfg.cond_rate):
         return False
-    if cfg.n_tiers != 2 or cfg.rnn_type != "gru" or cfg.n_rnn != 1:
+    if cfg.n_tiers not in (2, 3) or cfg.n_rnn != 1:
         return False
     # all weights must fit resident in VMEM (v5e-class: ~128 MB)
     if _megakernel_weight_bytes(cfg) > 100 * 1024 * 1024:
@@ -182,7 +183,8 @@ def _generate_full(params, cfg, n_seqs, length, temperature, key, hist,
     n_top = -(-length // lookback)
     states = (initial_states if initial_states is not None
               else samplernn.initial_state(params, cfg, n_seqs))
-    h0, h1 = states[0][0], states[1][0]
+    # per-tier state [n_state, B, H]: drop the n_rnn=1 leading axis
+    kstates = tuple(s[0] for s in states)
     window = (hist if hist is not None
               else jnp.full((n_seqs, lookback),
                             quantize_zero(cfg.q_levels), jnp.int32))
@@ -195,7 +197,7 @@ def _generate_full(params, cfg, n_seqs, length, temperature, key, hist,
                            preferred_element_type=jnp.float32)
             return jnp.moveaxis(e, 0, 1)          # [n_rows, B, H]
 
-        ext_all = (proj(params["tiers"][0]), proj(params["tiers"][1]))
+        ext_all = tuple(proj(t) for t in params["tiers"])
     chunk_top = max(1, min(n_top, (8 << 20) // (n_seqs * lookback * 4)))
     if ext_all is not None:
         # conditioned chunks are bounded by the VMEM-resident cond
@@ -227,15 +229,16 @@ def _generate_full(params, cfg, n_seqs, length, temperature, key, hist,
 
             cond_kw = dict(
                 cond_rate=cfg.cond_rate,
-                ext_proj=(rows_of(ext_all[0]), rows_of(ext_all[1])),
+                ext_proj=tuple(rows_of(e) for e in ext_all),
                 cond_offsets=jnp.asarray([s0, r0], jnp.int32))
-        blocks3d, h0, h1 = generate_full_pallas(
-            window, h0, h1,
+        blocks3d, kstates = generate_full_pallas(
+            window, kstates,
             0.0 if temperature is None else temperature, seed,
-            params["tiers"][0], params["tiers"][1], params["mlp"],
+            list(params["tiers"]), params["mlp"],
             n_top=step_top, q_levels=cfg.q_levels,
             deterministic=temperature is None, interpret=interpret,
-            weights_dtype=cfg.compute_dtype, **cond_kw)
+            rnn_type=cfg.rnn_type, weights_dtype=cfg.compute_dtype,
+            **cond_kw)
         # [n_top, B, lookback] -> [B, n_top*lookback]
         samples = jnp.moveaxis(blocks3d, 0, 1).reshape(
             n_seqs, step_top * lookback)
@@ -246,7 +249,11 @@ def _generate_full(params, cfg, n_seqs, length, temperature, key, hist,
     levels = blocks[0] if len(blocks) == 1 else jnp.concatenate(blocks,
                                                                 axis=1)
     if return_state:
-        return levels[:, :length], (h0[None], h1[None]), window
+        # restore the model state layout [n_rnn=1, (2,)? B, H]
+        out_states = tuple(
+            s[0][None] if cfg.rnn_type == "gru" else s[None]
+            for s in kstates)
+        return levels[:, :length], out_states, window
     return levels[:, :length]
 
 

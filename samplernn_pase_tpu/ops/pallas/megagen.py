@@ -1,24 +1,29 @@
 """Whole-generation Pallas megakernel (flagship decode path).
 
-One `pallas_call` runs the ENTIRE batched autoregressive generation for
-the flagship 2-tier GRU SampleRNN: every weight matrix is DMA'd to VMEM
-once, then a `fori_loop` over top-tier frames keeps per-tier hidden
-states, the rolling sample window and all activations on-chip.  Per
-outer iteration: one top-tier GRU step, 4 bottom-tier GRU steps and 64
-fused sample-MLP decode steps, with Gumbel-max sampling from the on-core
-PRNG.  Nothing touches HBM between frames except the int32 sample block
-written to the output buffer.
+One `pallas_call` runs the ENTIRE batched autoregressive generation for a
+K-tier GRU/LSTM SampleRNN (n_rnn=1): every weight matrix is DMA'd to VMEM
+once, then a `fori_loop` over top-tier frames keeps per-tier states, the
+rolling sample window and all activations on-chip.  Tiers below the top
+are statically unrolled inside the loop body (their frame counts are the
+small static `frame_sizes`), and the innermost f1 sample steps run as one
+inner `fori_loop` (a fully unrolled body was a >9-minute Mosaic compile).
+Nothing touches HBM between frames except the int32 sample blocks.
 
-Why: the per-frame kernel (decode.py) still reloads ~55 MB of weights
-per 16 samples — at 16 kHz decode that is the dominant HBM traffic.
-Loading weights once moves generation from bandwidth-bound to
-compute-bound (the irreducible ~1.4 GFLOP per sample step at dim 1024).
+Why: the per-frame kernel (decode.py) still reloads ~55 MB of weights per
+16 samples — at 16 kHz decode that is the dominant HBM traffic.  Loading
+weights once moves generation from bandwidth-bound to compute-bound (the
+irreducible ~1.4 GFLOP per sample step at dim 1024).
 
-Constraints: 2-tier, rnn_type='gru', n_rnn=1, no external conditioning
-(the BASELINE config-5 shape); other configs use decode.py kernels.
-VMEM: ~75 MB of bf16 weights + output block — sized for TPU v5e-class
-VMEM; the caller falls back to the per-frame kernel if Mosaic rejects
-the allocation.
+Conditioned decode (TTS): per-tier conditioning streams, already
+projected through each tier's w_cond, ride in VMEM (f32 — bf16 rounding
+would decorrelate the autoregressive stream from the XLA path); the
+caller bounds chunk length so they fit.
+
+Mosaic notes: output is [n_top, B, lookback] because lane-dim dynamic
+stores must be 128-aligned; the sampling PRNG masks the SIGNED int32
+random bits to 23 bits before the float cast (an arithmetic shift would
+sign-extend into NaN gumbel noise and saturate the argmax — a bug class
+greedy tests cannot see).
 """
 
 from __future__ import annotations
@@ -32,6 +37,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from samplernn_pase_tpu.ops.weight_norm import resolve as _wn
 
+_TIER_REFS = 8  # wf, bf, wih, bih, whh, bhh, wup, bup per tier
+
 
 def _embed_col(levels_col, embed, n_levels):
     b = levels_col.shape[0]
@@ -40,35 +47,59 @@ def _embed_col(levels_col, embed, n_levels):
     return jnp.dot(onehot, embed, preferred_element_type=jnp.float32)
 
 
-def _gru(x, h, wih, bih, whh, bhh, hdim):
+def _cell(rnn_type, x, state, wih, bih, whh, bhh, hdim):
+    """One GRU/LSTM step. state [n_state, B, H] -> new state."""
     xg = jnp.dot(x.astype(wih.dtype), wih,
                  preferred_element_type=jnp.float32) + bih
+    h = state[0]
     hg = jnp.dot(h.astype(whh.dtype), whh,
                  preferred_element_type=jnp.float32) + bhh
-    r = jax.nn.sigmoid(xg[:, :hdim] + hg[:, :hdim])
-    z = jax.nn.sigmoid(xg[:, hdim:2 * hdim] + hg[:, hdim:2 * hdim])
-    n = jnp.tanh(xg[:, 2 * hdim:] + r * hg[:, 2 * hdim:])
-    return (1.0 - z) * n + z * h
+    if rnn_type == "gru":
+        r = jax.nn.sigmoid(xg[:, :hdim] + hg[:, :hdim])
+        z = jax.nn.sigmoid(xg[:, hdim:2 * hdim] + hg[:, hdim:2 * hdim])
+        n = jnp.tanh(xg[:, 2 * hdim:] + r * hg[:, 2 * hdim:])
+        h_new = (1.0 - z) * n + z * h
+        return h_new[None]
+    g = xg + hg
+    c = state[1]
+    i_g = jax.nn.sigmoid(g[:, :hdim])
+    f_g = jax.nn.sigmoid(g[:, hdim:2 * hdim])
+    g_g = jnp.tanh(g[:, 2 * hdim:3 * hdim])
+    o_g = jax.nn.sigmoid(g[:, 3 * hdim:])
+    c_new = f_g * c + i_g * g_g
+    h_new = o_g * jnp.tanh(c_new)
+    return jnp.stack([h_new, c_new])
 
 
-def _kernel(f1, f2, n_top, q_levels, deterministic, cond_rate,
-            seed_ref, temp_ref, *refs):
+def _kernel(frame_sizes, n_top, q_levels, deterministic, cond_rate,
+            rnn_type, seed_ref, temp_ref, *refs):
+    k_tiers = len(frame_sizes)
+    spans = []
+    acc = 1
+    for f in frame_sizes:
+        acc *= f
+        spans.append(acc)
+    lookback = spans[-1]
+
     if cond_rate:
-        # per-tier projected conditioning streams (every tier receives
-        # the external conditioning, like the teacher-forced forward)
-        (coff_ref, ext0_ref, ext1_ref) = refs[:3]
-        refs = refs[3:]
-    (win_ref, h0_ref, h1_ref,
-     wf0_ref, bf0_ref, wih0_ref, bih0_ref, whh0_ref, bhh0_ref,
-     wup0_ref, bup0_ref,
-     wf1_ref, bf1_ref, wih1_ref, bih1_ref, whh1_ref, bhh1_ref,
-     wup1_ref, bup1_ref,
-     embed_ref, wmi_ref, bmi_ref, wmh_ref, bmh_ref, wmo_ref,
-     bmo_ref, out_ref, h0out_ref, h1out_ref) = refs
+        coff_ref = refs[0]
+        ext_refs = refs[1:1 + k_tiers]
+        refs = refs[1 + k_tiers:]
+    win_ref = refs[0]
+    h_refs = refs[1:1 + k_tiers]
+    refs = refs[1 + k_tiers:]
+    tier_refs = [refs[i * _TIER_REFS:(i + 1) * _TIER_REFS]
+                 for i in range(k_tiers)]
+    refs = refs[k_tiers * _TIER_REFS:]
+    (embed_ref, wmi_ref, bmi_ref, wmh_ref, bmh_ref, wmo_ref,
+     bmo_ref) = refs[:7]
+    out_ref = refs[7]
+    hout_refs = refs[8:8 + k_tiers]
+
     b = win_ref.shape[0]
-    lookback = f1 * f2
     e = embed_ref.shape[1]
-    hdim = h0_ref.shape[1]
+    hdim = h_refs[0].shape[-1]
+    f1 = frame_sizes[0]
     temp = temp_ref[0]
     q_half = jnp.float32(q_levels / 2.0)
     if not deterministic:
@@ -78,14 +109,32 @@ def _kernel(f1, f2, n_top, q_levels, deterministic, cond_rate,
     def dequant(lv):
         return lv.astype(jnp.float32) / q_half - 1.0
 
+    def tier_in(k, frame, upper, pos):
+        wf, bf = tier_refs[k][0], tier_refs[k][1]
+        x = jnp.dot(dequant(frame).astype(wf.dtype), wf[:],
+                    preferred_element_type=jnp.float32) + bf[:]
+        if upper is not None:
+            x = x + upper
+        if cond_rate:
+            row = (coff_ref[0] + pos) // cond_rate - coff_ref[1]
+            x = x + ext_refs[k][row]
+        return x
+
+    def tier_cell(k, x, state):
+        _, _, wih, bih, whh, bhh, _, _ = tier_refs[k]
+        return _cell(rnn_type, x, state, wih[:], bih[:], whh[:], bhh[:],
+                     hdim)
+
+    def up_row(k, state, j):
+        wup, bup = tier_refs[k][6], tier_refs[k][7]
+        h_bf = state[0].astype(wup.dtype)
+        return jnp.dot(h_bf, wup[:, pl.ds(j * hdim, hdim)],
+                       preferred_element_type=jnp.float32) \
+            + bup[pl.ds(j, 1), :]
+
     def mlp_step(i, carry):
-        """One autoregressive sample step; all loop levels are
-        fori_loops so Mosaic compiles ONE copy of each body (the fully
-        unrolled form took the remote compiler >9 min)."""
-        emb_win, block16, h0_bf = carry
-        cond_i = jnp.dot(h0_bf, wup0_ref[:, pl.ds(i * hdim, hdim)],
-                         preferred_element_type=jnp.float32) \
-            + bup0_ref[pl.ds(i, 1), :]
+        emb_win, block, cond_state = carry
+        cond_i = up_row(0, cond_state, i)
         xm = jnp.dot(emb_win, wmi_ref[:],
                      preferred_element_type=jnp.float32) + bmi_ref[:]
         hm = jnp.maximum(xm + cond_i, 0.0).astype(wmh_ref.dtype)
@@ -97,106 +146,86 @@ def _kernel(f1, f2, n_top, q_levels, deterministic, cond_rate,
         if deterministic:
             scores = logits
         else:
-            # prng_random_bits yields SIGNED int32: mask to the low 23
-            # bits before the float cast (an arithmetic >> would
-            # sign-extend, making u negative -> NaN gumbel -> saturated
-            # argmax; Mosaic also lacks a uint32->f32 cast).
             bits = pltpu.prng_random_bits((b, q_levels))
             u23 = jnp.bitwise_and(bits, jnp.int32(0x7FFFFF))
             u = u23.astype(jnp.float32) * (1.0 / (1 << 23)) + 1e-7
             scores = logits + temp * (-jnp.log(-jnp.log(u)))
         sample = jnp.argmax(scores, axis=-1,
-                            keepdims=True).astype(jnp.int32)     # [B,1]
+                            keepdims=True).astype(jnp.int32)
         new_emb = _embed_col(sample, embed, q_levels).astype(emb_win.dtype)
         emb_win = jnp.concatenate([emb_win[:, e:], new_emb], axis=1)
-        # accumulate the sample into block16 by rolling (concat keeps
-        # static shapes; after f1 steps the oldest f1 are all replaced)
-        block16 = jnp.concatenate([block16[:, 1:], sample], axis=1)
-        return (emb_win, block16, h0_bf)
+        block = jnp.concatenate([block[:, 1:], sample], axis=1)
+        return (emb_win, block, cond_state)
 
-    def bottom_body(j, t, carry):
-        emb_win, win16, h0, h1_bf = carry
-        upper = jnp.dot(h1_bf, wup1_ref[:, pl.ds(j * hdim, hdim)],
-                        preferred_element_type=jnp.float32) \
-            + bup1_ref[pl.ds(j, 1), :]
-        if cond_rate:
-            # external conditioning row active at this frame's first
-            # sample (projected to H outside the kernel; coff_ref =
-            # [global sample offset of this chunk, first resident row])
-            pos = coff_ref[0] + (t * f2 + j) * f1
-            row = pos // cond_rate - coff_ref[1]
-            upper = upper + ext0_ref[row]
-        x0 = jnp.dot(dequant(win16).astype(wf0_ref.dtype), wf0_ref[:],
-                     preferred_element_type=jnp.float32) \
-            + bf0_ref[:] + upper
-        h0 = _gru(x0, h0, wih0_ref[:], bih0_ref[:], whh0_ref[:],
-                  bhh0_ref[:], hdim)
-        emb_win, block16, _ = jax.lax.fori_loop(
-            0, f1, mlp_step,
-            (emb_win, win16, h0.astype(wup0_ref.dtype)))
-        return (emb_win, block16, h0, h1_bf)
+    def decode(k, upper, pos, ctx):
+        """Decode one tier-k frame (spans[k] samples). ctx: dict with
+        'h' (list of states), 'emb_win', 'top_frame' (traced). Returns
+        the spans[k] new samples [B, spans[k]]."""
+        prev = ctx["last"][k]
+        x = tier_in(k, prev, upper, pos)
+        ctx["h"][k] = tier_cell(k, x, ctx["h"][k])
+        if k == 0:
+            ctx["emb_win"], block, _ = jax.lax.fori_loop(
+                0, f1, mlp_step, (ctx["emb_win"], prev, ctx["h"][0]))
+            ctx["last"][0] = block
+            return block
+        parts = []
+        for j in range(frame_sizes[k]):
+            row = up_row(k, ctx["h"][k], j)
+            parts.append(decode(k - 1, row, pos + j * spans[k - 1], ctx))
+        frame = jnp.concatenate(parts, axis=1)
+        ctx["last"][k] = frame
+        return frame
 
     def top_body(t, carry):
-        emb_win, frame64, win16, h0, h1 = carry
-        x1 = jnp.dot(dequant(frame64).astype(wf1_ref.dtype), wf1_ref[:],
-                     preferred_element_type=jnp.float32) + bf1_ref[:]
-        if cond_rate:
-            pos = coff_ref[0] + t * lookback
-            x1 = x1 + ext1_ref[pos // cond_rate - coff_ref[1]]
-        h1 = _gru(x1, h1, wih1_ref[:], bih1_ref[:], whh1_ref[:],
-                  bhh1_ref[:], hdim)
-        frame_cols = []
-        for j in range(f2):   # f2 is small (4): cheap static unroll so
-            # the new 64-sample frame can be assembled with static shapes
-            emb_win, win16, h0, _ = bottom_body(
-                j, t, (emb_win, win16, h0, h1.astype(wup1_ref.dtype)))
-            frame_cols.append(win16)
-        new_frame = jnp.concatenate(frame_cols, axis=1)  # [B, lookback]
-        # output is [n_top, B, lookback]: dynamic index on the leading
-        # (untiled) dim — lane-dim dynamic offsets must be 128-aligned,
-        # which lookback (64) is not.
+        emb_win, top_frame, h_tuple = carry
+        ctx = {
+            "h": list(h_tuple),
+            "emb_win": emb_win,
+            # tails of the previous top frame seed every tier's window
+            "last": [top_frame[:, lookback - s:] for s in spans],
+        }
+        new_frame = decode(k_tiers - 1, None, t * lookback, ctx)
         out_ref[t] = new_frame
-        return (emb_win, new_frame, win16, h0, h1)
+        return (ctx["emb_win"], new_frame, tuple(ctx["h"]))
 
     win16_0 = win_ref[:, lookback - f1:]
     emb_win0 = jnp.concatenate(
         [_embed_col(win16_0[:, k:k + 1], embed, q_levels)
          for k in range(f1)], axis=1).astype(wmi_ref.dtype)
-    init = (emb_win0, win_ref[:], win16_0, h0_ref[:], h1_ref[:])
-    _, _, _, h0_fin, h1_fin = jax.lax.fori_loop(0, n_top, top_body, init)
-    h0out_ref[:] = h0_fin
-    h1out_ref[:] = h1_fin
+    init = (emb_win0, win_ref[:], tuple(h[:] for h in h_refs))
+    _, _, h_fin = jax.lax.fori_loop(0, n_top, top_body, init)
+    for k in range(k_tiers):
+        hout_refs[k][:] = h_fin[k]
 
 
-@functools.partial(jax.jit, static_argnames=("n_top", "q_levels",
-                                             "deterministic", "interpret",
-                                             "cond_rate", "weights_dtype"))
-def generate_full_pallas(window, h0, h1, temperature, seed, tier0, tier1,
-                         mlp, *, n_top: int, q_levels: int = 256,
+@functools.partial(jax.jit, static_argnames=(
+    "n_top", "q_levels", "deterministic", "interpret", "cond_rate",
+    "rnn_type", "weights_dtype"))
+def generate_full_pallas(window, states, temperature, seed, tiers, mlp, *,
+                         n_top: int, q_levels: int = 256,
                          deterministic: bool = False,
-                         interpret: bool = False,
-                         cond_rate: int = 0, ext_proj=None,
-                         cond_offsets=None,
+                         interpret: bool = False, cond_rate: int = 0,
+                         ext_proj=None, cond_offsets=None,
+                         rnn_type: str = "gru",
                          weights_dtype: str = "bfloat16"):
-    """Run the full generation megakernel.
+    """Run the full generation megakernel (K tiers, GRU or LSTM, n_rnn=1).
 
-    window [B, lookback] int32 seed context; h0/h1 [B, H] f32 initial
-    tier states; returns (samples [n_top, B, lookback] int32,
-    h0_final, h1_final) so long generations can be chunked without
-    blowing the VMEM output buffer. Callers flatten the sample blocks
-    to [B, n_top * lookback].
-
-    Conditioned decode (TTS): pass cond_rate (samples per conditioning
-    frame), ext_proj = (ext0, ext1) each [n_rows, B, H] f32 (the
-    conditioning stream projected through tier0's / tier1's w_cond) and
-    cond_offsets = int32 [global sample offset of this chunk, first row
-    index resident in ext_proj].
+    window [B, lookback] int32 seed context; states = tuple of per-tier
+    [n_state, B, H] f32 (n_state 1 for gru, 2 for lstm); tiers = list of
+    tier param dicts bottom->top.  Returns (samples [n_top, B, lookback]
+    int32, final_states tuple) so long generations are chunked without
+    blowing the VMEM output buffer.
     """
     b, lookback = window.shape
-    hdim = h0.shape[1]
-    f1 = tier0["b_up"].shape[0]
-    f2 = tier1["b_up"].shape[0]
-    assert f1 * f2 == lookback, (f1, f2, lookback)
+    hdim = states[0].shape[-1]
+    n_state = 1 if rnn_type == "gru" else 2
+    gates = n_state + 2
+    frame_sizes = tuple(t["b_up"].shape[0] for t in tiers)
+    acc = 1
+    for f in frame_sizes:
+        acc *= f
+    assert acc == lookback, (frame_sizes, lookback)
     wt = jnp.dtype(weights_dtype)
 
     def prep(t):
@@ -204,28 +233,27 @@ def generate_full_pallas(window, h0, h1, temperature, seed, tier0, tier1,
         return (_wn(t["w_in"]).astype(wt),
                 t["b_in"].astype(jnp.float32).reshape(1, hdim),
                 r["w_ih"].astype(wt),
-                r["b_ih"].astype(jnp.float32).reshape(1, 3 * hdim),
+                r["b_ih"].astype(jnp.float32).reshape(1, gates * hdim),
                 r["w_hh"].astype(wt),
-                r["b_hh"].astype(jnp.float32).reshape(1, 3 * hdim),
+                r["b_hh"].astype(jnp.float32).reshape(1, gates * hdim),
                 _wn(t["w_up"]).astype(wt),
                 t["b_up"].astype(jnp.float32))
 
     cond_args = ()
     if cond_rate:
-        # f32 streams (bf16 here breaks bit-parity with the XLA path);
-        # the caller bounds the chunk so both fit VMEM (128 MB on v5e)
-        ext0, ext1 = ext_proj
         cond_args = (jnp.asarray(cond_offsets, jnp.int32).reshape(2),
-                     ext0.astype(jnp.float32), ext1.astype(jnp.float32))
+                     *(e.astype(jnp.float32) for e in ext_proj))
+    tier_args = ()
+    for t in tiers:
+        tier_args = tier_args + prep(t)
     args = (
         jnp.asarray(seed, jnp.int32).reshape(1),
         jnp.asarray(temperature, jnp.float32).reshape(1),
         *cond_args,
         window.astype(jnp.int32),
-        h0.astype(jnp.float32),
-        h1.astype(jnp.float32),
-        *prep(tier0),
-        *prep(tier1),
+        *(s.astype(jnp.float32).reshape(n_state, b, hdim)
+          for s in states),
+        *tier_args,
         mlp["embed"].astype(wt),
         _wn(mlp["w_in"]).astype(wt),
         mlp["b_in"].astype(jnp.float32).reshape(1, hdim),
@@ -236,19 +264,20 @@ def generate_full_pallas(window, h0, h1, temperature, seed, tier0, tier1,
     )
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
-    n_smem = 3 if cond_rate else 2   # seed, temp[, cond offsets];
-    # ext0/ext1 land in VMEM right after the SMEM scalars
-    return pl.pallas_call(
-        functools.partial(_kernel, f1, f2, n_top, q_levels, deterministic,
-                          cond_rate),
+    n_smem = 3 if cond_rate else 2   # seed, temp[, cond offsets]
+    k = len(tiers)
+    outs = pl.pallas_call(
+        functools.partial(_kernel, frame_sizes, n_top, q_levels,
+                          deterministic, cond_rate, rnn_type),
         out_shape=(
             jax.ShapeDtypeStruct((n_top, b, lookback), jnp.int32),
-            jax.ShapeDtypeStruct((b, hdim), jnp.float32),
-            jax.ShapeDtypeStruct((b, hdim), jnp.float32),
+            *(jax.ShapeDtypeStruct((n_state, b, hdim), jnp.float32)
+              for _ in range(k)),
         ),
         in_specs=[smem] * n_smem + [vmem] * (len(args) - n_smem),
-        out_specs=(vmem, vmem, vmem),
+        out_specs=(vmem,) * (1 + k),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
         interpret=interpret,
     )(*args)
+    return outs[0], tuple(outs[1:])

@@ -179,3 +179,39 @@ def test_lstm_tier_kernel_used_for_lstm_configs():
         win = jnp.concatenate([win[:, 1:], s[:, None]], axis=1)
     np.testing.assert_array_equal(np.asarray(samples),
                                   np.stack(want, axis=1))
+
+
+def test_generate_megakernel_3tier_gru_matches_greedy():
+    cfg = SampleRNNConfig(frame_sizes=(4, 2, 2), dim=16, embed_dim=8,
+                          compute_dtype="float32")
+    params = samplernn.init_params(jax.random.PRNGKey(8), cfg)
+    t = cfg.lookback * 3
+    ref = gen.generate_levels(params, cfg, 2, t, temperature=None,
+                              use_pallas=False)
+    got = gen.generate_levels(params, cfg, 2, t, temperature=None,
+                              use_pallas="interpret")
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
+def test_generate_megakernel_3tier_lstm_matches_greedy():
+    cfg = SampleRNNConfig(frame_sizes=(4, 2, 2), dim=16, embed_dim=8,
+                          rnn_type="lstm", compute_dtype="float32")
+    params = samplernn.init_params(jax.random.PRNGKey(9), cfg)
+    t = cfg.lookback * 2
+    ref = gen.generate_levels(params, cfg, 2, t, temperature=None,
+                              use_pallas=False)
+    got = gen.generate_levels(params, cfg, 2, t, temperature=None,
+                              use_pallas="interpret")
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
+def test_generate_megakernel_2tier_lstm_matches_greedy():
+    cfg = SampleRNNConfig(frame_sizes=(4, 2), dim=16, embed_dim=8,
+                          rnn_type="lstm", compute_dtype="float32")
+    params = samplernn.init_params(jax.random.PRNGKey(10), cfg)
+    t = cfg.lookback * 3
+    ref = gen.generate_levels(params, cfg, 2, t, temperature=None,
+                              use_pallas=False)
+    got = gen.generate_levels(params, cfg, 2, t, temperature=None,
+                              use_pallas="interpret")
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
