@@ -68,6 +68,8 @@ def _load_exp(args):
 
 
 def cmd_train(args):
+    import dataclasses as dc
+
     import jax
     from samplernn_pase_tpu import config as C
     from samplernn_pase_tpu.data.dataset import WavCorpus, synthetic_corpus
@@ -85,6 +87,38 @@ def cmd_train(args):
     else:
         print("[train] no --dataset; using synthetic corpus", file=sys.stderr)
         corpus = synthetic_corpus(q_levels=exp.model.q_levels)
+
+    if args.joint:
+        # end-to-end PASE + SampleRNN (BASELINE config 4 strict form)
+        from samplernn_pase_tpu.train import joint as J
+        pase_cfg = exp.pase or C.PASEConfig()
+        model = exp.model
+        if not model.cond_dim:
+            model = dc.replace(model, cond_dim=pase_cfg.emb_dim,
+                               cond_rate=pase_cfg.decimation)
+        exp = dc.replace(exp, model=model, pase=pase_cfg)
+        exp_dir = Path(tcfg.exp_dir)
+        exp_dir.mkdir(parents=True, exist_ok=True)
+        (exp_dir / "config.json").write_text(C.to_json(exp))
+        writer = MetricsWriter(exp_dir / "metrics.jsonl")
+        pase_params = bn_state = None
+        if args.pase_ckpt:
+            from samplernn_pase_tpu.models import pase as pase_mod
+            pase_params, bn_state, _ = pase_mod.load_torch_pase(
+                args.pase_ckpt, pase_cfg)
+        params, bn_state, losses = J.run_joint_training(
+            model, pase_cfg, tcfg, corpus, writer,
+            epochs=args.epochs or tcfg.epochs,
+            freeze_pase=args.freeze_pase,
+            pase_params=pase_params, bn_state=bn_state)
+        mgr = CheckpointManager(exp_dir / "ckpt", tcfg.max_to_keep)
+        mgr.save(len(losses), {"joint": params, "bn": bn_state})
+        mgr.wait()
+        mgr.close()
+        writer.close()
+        print(f"[train --joint] {len(losses)} steps, final nll "
+              f"{losses[-1]:.3f} bits", file=sys.stderr)
+        return
 
     exp_dir = Path(tcfg.exp_dir)
     exp_dir.mkdir(parents=True, exist_ok=True)
@@ -199,6 +233,11 @@ def main(argv=None):
     pt.add_argument("--epochs", type=int)
     pt.add_argument("--seed", type=int)
     pt.add_argument("--resume", action="store_true")
+    pt.add_argument("--joint", action="store_true",
+                    help="end-to-end PASE+SampleRNN training (config 4)")
+    pt.add_argument("--freeze-pase", dest="freeze_pase",
+                    action="store_true")
+    pt.add_argument("--pase-ckpt", dest="pase_ckpt")
     pt.set_defaults(fn=cmd_train)
 
     pe = sub.add_parser("extract")

@@ -77,11 +77,12 @@ def sinc_conv(params, x, cfg: PASEConfig):
     filt = sinc_filters(params, cfg).astype(jnp.dtype(cfg.compute_dtype))
     lhs = x[:, None, :].astype(jnp.dtype(cfg.compute_dtype))  # [B, 1, T]
     rhs = filt[:, None, :]                                    # [F, 1, k]
+    # same-dtype in/out keeps the conv transpose (backward) rule happy;
+    # TPU convs accumulate in f32 internally regardless.
     out = jax.lax.conv_general_dilated(
         lhs, rhs, window_strides=(1,), padding="SAME",
-        dimension_numbers=("NCH", "OIH", "NCH"),
-        preferred_element_type=jnp.float32)
-    return out
+        dimension_numbers=("NCH", "OIH", "NCH"))
+    return out.astype(jnp.float32)
 
 
 # ------------------------------------------------------------- conv trunk
@@ -110,9 +111,8 @@ def conv_block_apply(params, bn_state, x, stride: int, *, train: bool,
     out = jax.lax.conv_general_dilated(
         x.astype(compute_dtype), params["w"].astype(compute_dtype),
         window_strides=(stride,), padding="SAME",
-        dimension_numbers=("NCH", "OIH", "NCH"),
-        preferred_element_type=jnp.float32)
-    out = out + params["b"][None, :, None]
+        dimension_numbers=("NCH", "OIH", "NCH"))
+    out = out.astype(jnp.float32) + params["b"][None, :, None]
     if train:
         mean = jnp.mean(out, axis=(0, 2))
         var = jnp.var(out, axis=(0, 2))

@@ -26,9 +26,11 @@ class CheckpointManager:
         )
         self.mgr = ocp.CheckpointManager(self.dir, options=options)
 
-    def save(self, step: int, params, opt_state, hiddens=None, cursor=None,
-             metrics: dict | None = None):
-        payload = {"params": params, "opt_state": opt_state}
+    def save(self, step: int, params, opt_state=None, hiddens=None,
+             cursor=None, metrics: dict | None = None):
+        payload = {"params": params}
+        if opt_state is not None:
+            payload["opt_state"] = opt_state
         if hiddens is not None:
             payload["hiddens"] = list(hiddens)
         if cursor is not None:

@@ -13,7 +13,11 @@ mu-law this is within quantization noise of the original waveform.
 
 from __future__ import annotations
 
+import time
+
 import jax
+import jax.numpy as jnp
+import numpy as np
 import optax
 
 from samplernn_pase_tpu.config import PASEConfig, SampleRNNConfig
@@ -78,3 +82,48 @@ def make_joint_train_step(model_cfg: SampleRNNConfig,
         return params, opt_state, new_bn, new_h, nll
 
     return jax.jit(step, donate_argnums=(0, 1, 2, 3))
+
+
+def run_joint_training(model_cfg: SampleRNNConfig, pase_cfg: PASEConfig,
+                       train_cfg, corpus, writer=None, epochs=None,
+                       freeze_pase: bool = False, key=None,
+                       pase_params=None, bn_state=None):
+    """Minimal end-to-end training loop for the joint model (the CLI's
+    --joint mode). Returns (params, bn_state, losses)."""
+    from samplernn_pase_tpu.train.optim import make_optimizer
+
+    key = key if key is not None else jax.random.PRNGKey(train_cfg.seed)
+    params, bn_state = init_joint(key, model_cfg, pase_cfg,
+                                  pase_params, bn_state)
+    tx = make_optimizer(train_cfg.lr, train_cfg.grad_clip,
+                        schedule=train_cfg.lr_schedule,
+                        warmup_steps=train_cfg.warmup_steps,
+                        decay_steps=train_cfg.decay_steps)
+    opt_state = tx.init(params)
+    hiddens = samplernn.initial_state(params["srnn"], model_cfg,
+                                      train_cfg.batch_size)
+    step = make_joint_train_step(model_cfg, pase_cfg, tx,
+                                 freeze_pase=freeze_pase)
+    losses = []
+    g = 0
+    n_epochs = epochs if epochs is not None else train_cfg.epochs
+    for epoch in range(n_epochs):
+        batcher = corpus.batcher(
+            "train", train_cfg.batch_size, train_cfg.seq_len,
+            model_cfg.lookback)
+        for chunk in batcher:
+            t0 = time.time()
+            params, opt_state, bn_state, hiddens, nll = step(
+                params, opt_state, bn_state, hiddens,
+                jnp.asarray(chunk.inputs), jnp.asarray(chunk.targets),
+                jnp.asarray(chunk.resets.astype(np.float32)))
+            nll = float(nll)
+            losses.append(nll)
+            if writer and g % train_cfg.log_every_steps == 0:
+                writer.write(step=g, split="train", mode="joint",
+                             nll_bits=nll,
+                             samples_per_sec=(
+                                 train_cfg.batch_size * train_cfg.seq_len
+                                 / (time.time() - t0)))
+            g += 1
+    return params, bn_state, losses

@@ -70,3 +70,22 @@ def test_cli_resume(wav_dir, tmp_path):
             "--batch_size", "2", "--seq_len", "256", "--epochs", "1"]
     cli.main(args)
     cli.main(args + ["--resume"])  # must restore without error
+
+
+def test_cli_train_joint(wav_dir, tmp_path):
+    """--joint: end-to-end PASE+SampleRNN from the CLI (config 4)."""
+    import json
+    from samplernn_pase_tpu import cli
+    exp = tmp_path / "exp_joint"
+    cli.main([
+        "train", "--joint", "--dataset", str(wav_dir),
+        "--exp-dir", str(exp),
+        "--frame_sizes", "4", "2", "--dim", "16", "--embed_dim", "8",
+        "--batch_size", "2", "--seq_len", "320", "--epochs", "1",
+    ])
+    cfgj = json.loads((exp / "config.json").read_text())
+    assert cfgj["model"]["cond_dim"] == cfgj["pase"]["emb_dim"]
+    metrics = [json.loads(l) for l in
+               (exp / "metrics.jsonl").read_text().splitlines()]
+    assert any(m.get("mode") == "joint" for m in metrics)
+    assert (exp / "ckpt").exists()
