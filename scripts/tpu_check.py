@@ -75,6 +75,37 @@ def main():
     assert abs(mega_s.mean() - xla_s.mean()) < 25, "sampling mean mismatch"
     assert abs(mega_s.std() - xla_s.std()) < 25, "sampling std mismatch"
     assert mega_s.std() > 10, "megakernel sampling collapsed"
+
+    # --- 3-tier LSTM megakernel (config 2 shape) ---
+    cfg3 = SampleRNNConfig(frame_sizes=(16, 4, 4), dim=128, embed_dim=32,
+                           rnn_type="lstm", compute_dtype="bfloat16")
+    p3 = samplernn.init_params(jax.random.PRNGKey(1), cfg3)
+    t3 = cfg3.lookback * 3
+    ref3 = np.asarray(gen.generate_levels(p3, cfg3, 4, t3, None,
+                                          use_pallas=False))
+    got3 = np.asarray(gen.generate_levels(p3, cfg3, 4, t3, None,
+                                          use_pallas="full"))
+    agree3 = (ref3 == got3).mean()
+    print(f"3-tier LSTM mega vs xla agreement: {agree3:.4f}")
+    assert agree3 > 0.99, agree3
+
+    # --- conditioned megakernel (config 4 shape) ---
+    cfg4 = SampleRNNConfig(frame_sizes=(16, 4), dim=128, embed_dim=32,
+                           cond_dim=32, cond_rate=160,
+                           compute_dtype="bfloat16")
+    p4 = samplernn.init_params(jax.random.PRNGKey(2), cfg4)
+    t4 = cfg4.lookback * 16
+    cond = jax.random.normal(jax.random.PRNGKey(3),
+                             (4, -(-t4 // 160), 32))
+    ref4 = np.asarray(gen.generate_levels(p4, cfg4, 4, t4, None,
+                                          cond=cond, use_pallas=False))
+    got4 = np.asarray(gen.generate_levels(p4, cfg4, 4, t4, None,
+                                          cond=cond, use_pallas="full"))
+    agree4 = (ref4 == got4).mean()
+    print(f"conditioned mega vs xla agreement: {agree4:.4f}")
+    # bf16 float noise from the one-shot cond projection can flip rare
+    # argmaxes and decorrelate AR streams; require high-but-not-exact
+    assert agree4 > 0.8, agree4
     print("TPU check OK")
 
 

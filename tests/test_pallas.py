@@ -14,12 +14,6 @@ from samplernn_pase_tpu.models import samplernn
 from samplernn_pase_tpu import generate as gen
 
 
-def _interp(fn, *args, **kw):
-    # route pallas_call through the interpreter on CPU
-    from jax.experimental import pallas as pl  # noqa: F401
-    return fn(*args, interpret=True, **kw)
-
-
 def test_codec_kernels_match_jnp():
     rng = np.random.default_rng(0)
     x = rng.uniform(-1.2, 1.2, (8, 4096)).astype(np.float32)
