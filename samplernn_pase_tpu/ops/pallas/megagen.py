@@ -72,7 +72,9 @@ def _cell(rnn_type, x, state, wih, bih, whh, bhh, hdim):
 
 
 def _kernel(frame_sizes, n_top, q_levels, deterministic, cond_rate,
-            rnn_type, seed_ref, temp_ref, *refs):
+            rnn_type, use_ring, seed_ref, temp_ref, *refs):
+    if use_ring:
+        *refs, ebuf_ref = refs   # VMEM scratch [B, 2*f1*E]
     k_tiers = len(frame_sizes)
     spans = []
     acc = 1
@@ -133,9 +135,18 @@ def _kernel(frame_sizes, n_top, q_levels, deterministic, cond_rate,
             + bup[pl.ds(j, 1), :]
 
     def mlp_step(i, carry):
+        """use_ring: the embedded window lives in the ebuf scratch at
+        E-aligned slots (one [B,E] write per step; the shifting form
+        copies the whole [B, f1*E] window every step, ~16 MB/frame of
+        pure VPU traffic). Slots: at step i the window is samples
+        [i, i+f1) at byte-aligned columns [i*E, (i+f1)*E)."""
         emb_win, block, cond_state = carry
         cond_i = up_row(0, cond_state, i)
-        xm = jnp.dot(emb_win, wmi_ref[:],
+        if use_ring:
+            win_now = ebuf_ref[:, pl.ds(i * e, f1 * e)]
+        else:
+            win_now = emb_win
+        xm = jnp.dot(win_now, wmi_ref[:],
                      preferred_element_type=jnp.float32) + bmi_ref[:]
         hm = jnp.maximum(xm + cond_i, 0.0).astype(wmh_ref.dtype)
         hm = jnp.maximum(
@@ -152,8 +163,12 @@ def _kernel(frame_sizes, n_top, q_levels, deterministic, cond_rate,
             scores = logits + temp * (-jnp.log(-jnp.log(u)))
         sample = jnp.argmax(scores, axis=-1,
                             keepdims=True).astype(jnp.int32)
-        new_emb = _embed_col(sample, embed, q_levels).astype(emb_win.dtype)
-        emb_win = jnp.concatenate([emb_win[:, e:], new_emb], axis=1)
+        new_emb = _embed_col(sample, embed,
+                             q_levels).astype(wmi_ref.dtype)
+        if use_ring:
+            ebuf_ref[:, pl.ds((i + f1) * e, e)] = new_emb
+        else:
+            emb_win = jnp.concatenate([emb_win[:, e:], new_emb], axis=1)
         block = jnp.concatenate([block[:, 1:], sample], axis=1)
         return (emb_win, block, cond_state)
 
@@ -167,6 +182,9 @@ def _kernel(frame_sizes, n_top, q_levels, deterministic, cond_rate,
         if k == 0:
             ctx["emb_win"], block, _ = jax.lax.fori_loop(
                 0, f1, mlp_step, (ctx["emb_win"], prev, ctx["h"][0]))
+            if use_ring:
+                # slide the window back to slots [0, f1) for next frame
+                ebuf_ref[:, :f1 * e] = ebuf_ref[:, f1 * e:2 * f1 * e]
             ctx["last"][0] = block
             return block
         parts = []
@@ -190,9 +208,15 @@ def _kernel(frame_sizes, n_top, q_levels, deterministic, cond_rate,
         return (ctx["emb_win"], new_frame, tuple(ctx["h"]))
 
     win16_0 = win_ref[:, lookback - f1:]
-    emb_win0 = jnp.concatenate(
-        [_embed_col(win16_0[:, k:k + 1], embed, q_levels)
-         for k in range(f1)], axis=1).astype(wmi_ref.dtype)
+    if use_ring:
+        for k in range(f1):
+            ebuf_ref[:, k * e:(k + 1) * e] = _embed_col(
+                win16_0[:, k:k + 1], embed, q_levels).astype(wmi_ref.dtype)
+        emb_win0 = jnp.zeros((b, 1), wmi_ref.dtype)  # unused placeholder
+    else:
+        emb_win0 = jnp.concatenate(
+            [_embed_col(win16_0[:, k:k + 1], embed, q_levels)
+             for k in range(f1)], axis=1).astype(wmi_ref.dtype)
     init = (emb_win0, win_ref[:], tuple(h[:] for h in h_refs))
     _, _, h_fin = jax.lax.fori_loop(0, n_top, top_body, init)
     for k in range(k_tiers):
@@ -266,9 +290,15 @@ def generate_full_pallas(window, states, temperature, seed, tiers, mlp, *,
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     n_smem = 3 if cond_rate else 2   # seed, temp[, cond offsets]
     k = len(tiers)
+    f1 = frame_sizes[0]
+    e_dim = mlp["embed"].shape[1]
+    # ring-buffered embed window needs E-aligned (128-lane) dynamic
+    # column offsets; small-E test configs use the shifting fallback
+    use_ring = (e_dim % 128 == 0)
+    scratch = ([pltpu.VMEM((b, 2 * f1 * e_dim), wt)] if use_ring else [])
     outs = pl.pallas_call(
         functools.partial(_kernel, frame_sizes, n_top, q_levels,
-                          deterministic, cond_rate, rnn_type),
+                          deterministic, cond_rate, rnn_type, use_ring),
         out_shape=(
             jax.ShapeDtypeStruct((n_top, b, lookback), jnp.int32),
             *(jax.ShapeDtypeStruct((n_state, b, hdim), jnp.float32)
@@ -276,6 +306,7 @@ def generate_full_pallas(window, states, temperature, seed, tiers, mlp, *,
         ),
         in_specs=[smem] * n_smem + [vmem] * (len(args) - n_smem),
         out_specs=(vmem,) * (1 + k),
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
         interpret=interpret,

@@ -209,3 +209,17 @@ def test_generate_megakernel_2tier_lstm_matches_greedy():
     got = gen.generate_levels(params, cfg, 2, t, temperature=None,
                               use_pallas="interpret")
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
+def test_megakernel_ring_buffer_path_matches_greedy():
+    """embed_dim % 128 == 0 activates the E-aligned ring-buffered embed
+    window inside the megakernel; must stay exactly greedy-equal."""
+    cfg = SampleRNNConfig(frame_sizes=(4, 2), dim=16, embed_dim=128,
+                          compute_dtype="float32")
+    params = samplernn.init_params(jax.random.PRNGKey(11), cfg)
+    t = cfg.lookback * 3
+    ref = gen.generate_levels(params, cfg, 2, t, temperature=None,
+                              use_pallas=False)
+    got = gen.generate_levels(params, cfg, 2, t, temperature=None,
+                              use_pallas="interpret")
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
