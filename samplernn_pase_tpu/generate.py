@@ -156,6 +156,10 @@ def _full_kernel_eligible(cfg, cond, use_pallas, temperature):
         return False
     if cfg.n_tiers not in (2, 3) or cfg.n_rnn != 1:
         return False
+    # in-kernel dynamic lane slicing of the hoisted cond rows needs
+    # 128-aligned offsets (interpret mode does not enforce tiling)
+    if cfg.dim % 128 != 0 and use_pallas != "interpret":
+        return False
     # all weights must fit resident in VMEM (v5e-class: ~128 MB)
     if _megakernel_weight_bytes(cfg) > 100 * 1024 * 1024:
         return False

@@ -73,8 +73,12 @@ def _cell(rnn_type, x, state, wih, bih, whh, bhh, hdim):
 
 def _kernel(frame_sizes, n_top, q_levels, deterministic, cond_rate,
             rnn_type, use_ring, seed_ref, temp_ref, *refs):
+    # VMEM scratch (tail of the ref list): per-frame hoisted cond rows,
+    # per-frame gumbel noise, and (ring mode) the embedded window
     if use_ring:
-        *refs, ebuf_ref = refs   # VMEM scratch [B, 2*f1*E]
+        *refs, cond_sc_ref, gum_sc_ref, ebuf_ref = refs
+    else:
+        *refs, cond_sc_ref, gum_sc_ref = refs
     k_tiers = len(frame_sizes)
     spans = []
     acc = 1
@@ -139,9 +143,15 @@ def _kernel(frame_sizes, n_top, q_levels, deterministic, cond_rate,
         E-aligned slots (one [B,E] write per step; the shifting form
         copies the whole [B, f1*E] window every step, ~16 MB/frame of
         pure VPU traffic). Slots: at step i the window is samples
-        [i, i+f1) at byte-aligned columns [i*E, (i+f1)*E)."""
-        emb_win, block, cond_state = carry
-        cond_i = up_row(0, cond_state, i)
+        [i, i+f1) at byte-aligned columns [i*E, (i+f1)*E).
+
+        cond rows and gumbel noise are hoisted out of the step (one big
+        matmul / one PRNG call per frame) — the AR critical path is the
+        3 MLP matmuls + argmax + one-hot embed only."""
+        emb_win, block = carry
+        bup0 = tier_refs[0][7]
+        cond_i = cond_sc_ref[:, pl.ds(i * hdim, hdim)] \
+            + bup0[pl.ds(i, 1), :]
         if use_ring:
             win_now = ebuf_ref[:, pl.ds(i * e, f1 * e)]
         else:
@@ -157,10 +167,7 @@ def _kernel(frame_sizes, n_top, q_levels, deterministic, cond_rate,
         if deterministic:
             scores = logits
         else:
-            bits = pltpu.prng_random_bits((b, q_levels))
-            u23 = jnp.bitwise_and(bits, jnp.int32(0x7FFFFF))
-            u = u23.astype(jnp.float32) * (1.0 / (1 << 23)) + 1e-7
-            scores = logits + temp * (-jnp.log(-jnp.log(u)))
+            scores = logits + temp * gum_sc_ref[i]
         sample = jnp.argmax(scores, axis=-1,
                             keepdims=True).astype(jnp.int32)
         new_emb = _embed_col(sample, embed,
@@ -170,7 +177,7 @@ def _kernel(frame_sizes, n_top, q_levels, deterministic, cond_rate,
         else:
             emb_win = jnp.concatenate([emb_win[:, e:], new_emb], axis=1)
         block = jnp.concatenate([block[:, 1:], sample], axis=1)
-        return (emb_win, block, cond_state)
+        return (emb_win, block)
 
     def decode(k, upper, pos, ctx):
         """Decode one tier-k frame (spans[k] samples). ctx: dict with
@@ -180,8 +187,21 @@ def _kernel(frame_sizes, n_top, q_levels, deterministic, cond_rate,
         x = tier_in(k, prev, upper, pos)
         ctx["h"][k] = tier_cell(k, x, ctx["h"][k])
         if k == 0:
-            ctx["emb_win"], block, _ = jax.lax.fori_loop(
-                0, f1, mlp_step, (ctx["emb_win"], prev, ctx["h"][0]))
+            # hoist: ALL f1 cond rows in one [B,H]@[H,f1*H] matmul into
+            # scratch (per-row bias added at use — a (f1,H)->(1,f1*H)
+            # reshape would be a cross-tile shape cast Mosaic rejects);
+            # likewise one PRNG call per frame for the gumbel noise
+            wup = tier_refs[0][6]
+            h_bf = ctx["h"][0][0].astype(wup.dtype)
+            cond_sc_ref[:] = jnp.dot(h_bf, wup[:],
+                                     preferred_element_type=jnp.float32)
+            if not deterministic:
+                bits = pltpu.prng_random_bits((f1, b, q_levels))
+                u23 = jnp.bitwise_and(bits, jnp.int32(0x7FFFFF))
+                u = (u23.astype(jnp.float32) * (1.0 / (1 << 23)) + 1e-7)
+                gum_sc_ref[:] = -jnp.log(-jnp.log(u))
+            ctx["emb_win"], block = jax.lax.fori_loop(
+                0, f1, mlp_step, (ctx["emb_win"], prev))
             if use_ring:
                 # slide the window back to slots [0, f1) for next frame
                 ebuf_ref[:, :f1 * e] = ebuf_ref[:, f1 * e:2 * f1 * e]
@@ -295,7 +315,12 @@ def generate_full_pallas(window, states, temperature, seed, tiers, mlp, *,
     # ring-buffered embed window needs E-aligned (128-lane) dynamic
     # column offsets; small-E test configs use the shifting fallback
     use_ring = (e_dim % 128 == 0)
-    scratch = ([pltpu.VMEM((b, 2 * f1 * e_dim), wt)] if use_ring else [])
+    scratch = [
+        pltpu.VMEM((b, f1 * hdim), jnp.float32),      # hoisted cond rows
+        pltpu.VMEM((f1, b, q_levels), jnp.float32),   # per-frame gumbel
+    ]
+    if use_ring:
+        scratch.append(pltpu.VMEM((b, 2 * f1 * e_dim), wt))
     outs = pl.pallas_call(
         functools.partial(_kernel, frame_sizes, n_top, q_levels,
                           deterministic, cond_rate, rnn_type, use_ring),
