@@ -186,6 +186,7 @@ class Trainer:
         self.global_step = 0
         self.epoch = 0
         self.batch_idx = 0
+        self._resume_batch_idx = 0
         self.last_val_nll = None
         if mesh is not None:
             from samplernn_pase_tpu.parallel import mesh as pm
@@ -234,9 +235,16 @@ class Trainer:
             p.on_train_start(self)
         samples_per_chunk = (self.train_cfg.batch_size
                              * self.train_cfg.seq_len)
+        skip_until = self._resume_batch_idx
+        self._resume_batch_idx = 0
         for epoch in range(self.epoch, epochs):
             self.epoch = epoch
             for i, item in enumerate(self._batcher("train")):
+                if skip_until and i <= skip_until:
+                    # exact mid-epoch resume: the checkpoint carries the
+                    # data cursor and the TBPTT hidden states, so we
+                    # fast-forward past already-trained chunks
+                    continue
                 self.batch_idx = i
                 chunk, cond = self._split_batch(item)
                 args = self._put(chunk.inputs, chunk.targets,
@@ -265,6 +273,7 @@ class Trainer:
                 for p in self.plugins:
                     p.on_step(self, self.global_step, metrics)
                 self.global_step += 1
+            skip_until = 0
             for p in self.plugins:
                 p.on_epoch_end(self, epoch)
         for p in self.plugins:
@@ -300,5 +309,6 @@ class Trainer:
             self.hiddens = tuple(restored["hiddens"])
         if restored.get("cursor") is not None:
             self.epoch = int(restored["cursor"][0])
+            self._resume_batch_idx = int(restored["cursor"][1])
         self.global_step = int(restored["step"])
         return True

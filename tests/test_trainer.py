@@ -109,3 +109,51 @@ def test_generator_plugin_writes_wavs(tmp_path):
     t.run()
     wavs = list((tmp_path / "samples").glob("*.wav"))
     assert wavs, "GeneratorPlugin produced no audio artifacts"
+
+
+def test_mid_epoch_resume_skips_trained_chunks(tmp_path):
+    """Resume fast-forwards the data cursor: the step after restore sees
+    the NEXT chunk, not the epoch's first."""
+    from samplernn_pase_tpu.train.checkpoint import CheckpointManager
+    corpus = synthetic_corpus(n_utts=2, length=4096, seed=6)
+    tcfg = TrainConfig(batch_size=1, seq_len=512, epochs=1)
+    t = tr.Trainer(CFG, tcfg, corpus)
+
+    seen = []
+
+    class Stop(Exception):
+        pass
+
+    class Tracker(tr.Plugin):
+        def on_step(self, trainer, step, metrics):
+            seen.append(trainer.batch_idx)
+            if step == 4:
+                mgr = CheckpointManager(tmp_path / "c")
+                mgr.save(step, trainer.params, trainer.opt_state,
+                         trainer.hiddens,
+                         cursor=np.asarray([trainer.epoch,
+                                            trainer.batch_idx]))
+                mgr.wait()
+                mgr.close()
+                raise Stop()
+
+    t.plugins.append(Tracker())
+    try:
+        t.run()
+    except Stop:
+        pass
+    assert seen[-1] == 4
+
+    t2 = tr.Trainer(CFG, tcfg, corpus)
+    mgr = CheckpointManager(tmp_path / "c")
+    assert t2.restore(mgr)
+    mgr.close()
+    seen2 = []
+
+    class Tracker2(tr.Plugin):
+        def on_step(self, trainer, step, metrics):
+            seen2.append(trainer.batch_idx)
+
+    t2.plugins.append(Tracker2())
+    t2.run()
+    assert seen2[0] == 5, seen2[:3]   # resumes AFTER the saved chunk
