@@ -45,7 +45,8 @@ class WavCorpus:
                  sample_rate: int = 16_000, names: Sequence[str] | None = None,
                  val_frac: float = 0.1,
                  conditioning: Sequence[np.ndarray] | None = None,
-                 speakers: Sequence[int] | None = None):
+                 speakers: Sequence[int] | None = None,
+                 test_frac: float = 0.0):
         self.q_levels = q_levels
         self.sample_rate = sample_rate
         self.utterances = [np.asarray(u, np.int32) for u in utterances]
@@ -53,13 +54,19 @@ class WavCorpus:
             f"utt{i:05d}" for i in range(len(utterances))]
         self.conditioning = conditioning
         self.speakers = list(speakers) if speakers is not None else None
-        # deterministic split by name hash (stable across runs/machines)
-        self.val_idx = [
-            i for i, n in enumerate(self.names)
-            if int(hashlib.md5(n.encode()).hexdigest(), 16) % 1000
-            < val_frac * 1000]
-        self.train_idx = [i for i in range(len(self.names))
-                          if i not in set(self.val_idx)]
+        # deterministic train/val/test split by name hash (stable across
+        # runs/machines; C3's three-way corpus split)
+        self.val_idx, self.test_idx, self.train_idx = [], [], []
+        v_cut = val_frac * 1000
+        t_cut = v_cut + test_frac * 1000
+        for i, n in enumerate(self.names):
+            h = int(hashlib.md5(n.encode()).hexdigest(), 16) % 1000
+            if h < v_cut:
+                self.val_idx.append(i)
+            elif h < t_cut:
+                self.test_idx.append(i)
+            else:
+                self.train_idx.append(i)
         if not self.train_idx:  # tiny corpora: train on everything
             self.train_idx = list(range(len(self.names)))
 
@@ -110,7 +117,8 @@ class WavCorpus:
 
     def batcher(self, split: str, batch_size: int, seq_len: int,
                 overlap: int, cond_rate: int | None = None) -> StreamBatcher:
-        idx = self.train_idx if split == "train" else self.val_idx
+        idx = {"train": self.train_idx, "val": self.val_idx,
+               "test": self.test_idx}[split]
         if not idx:
             idx = self.train_idx
         if len(idx) < batch_size:

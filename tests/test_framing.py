@@ -79,3 +79,21 @@ def test_stream_batcher_conditioning_alignment():
     assert c0[0, 0, 0] == 0 and c0[0, 1, 0] == 1
     _, c1 = steps[1]
     assert c1[0, 0, 0] == 2 and c1[1, 0, 0] == 6
+
+
+def test_corpus_three_way_split():
+    from samplernn_pase_tpu.data.dataset import WavCorpus
+    import numpy as np
+    utts = [np.zeros(100, np.int32)] * 50
+    names = [f"utt{i}" for i in range(50)]
+    c = WavCorpus(utts, names=names, val_frac=0.2, test_frac=0.2)
+    assert set(c.train_idx) | set(c.val_idx) | set(c.test_idx) == set(
+        range(50))
+    assert not (set(c.val_idx) & set(c.test_idx))
+    assert len(c.train_idx) > 0 and len(c.val_idx) > 0
+    # split is deterministic
+    c2 = WavCorpus(utts, names=names, val_frac=0.2, test_frac=0.2)
+    assert c.val_idx == c2.val_idx and c.test_idx == c2.test_idx
+    # batcher accepts all three splits
+    for split in ("train", "val", "test"):
+        assert len(c.batcher(split, 2, 50, 10)) >= 0
