@@ -205,8 +205,9 @@ def _generate_full(params, cfg, n_seqs, length, temperature, key, hist,
     chunk_top = max(1, min(n_top, (8 << 20) // (n_seqs * lookback * 4)))
     if ext_all is not None:
         # conditioned chunks are bounded by the VMEM-resident cond
-        # streams (~n_rows * B * H * 2 bytes each), not the output buffer
-        chunk_top = min(chunk_top, 64)
+        # streams (f32 [rows, B, H] per tier) on top of the resident
+        # weights and the cond/gumbel/ring scratch
+        chunk_top = min(chunk_top, 48)
     blocks = []
     done = 0
     c = 0
