@@ -223,3 +223,19 @@ def test_megakernel_ring_buffer_path_matches_greedy():
     got = gen.generate_levels(params, cfg, 2, t, temperature=None,
                               use_pallas="interpret")
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
+def test_conditioned_megakernel_multi_chunk():
+    """Conditioned decode spanning several megakernel chunks: cond-row
+    offsets and state carry must line up across chunk boundaries."""
+    cfg = SampleRNNConfig(frame_sizes=(4, 2), dim=16, embed_dim=8,
+                          cond_dim=6, cond_rate=8, compute_dtype="float32")
+    params = samplernn.init_params(jax.random.PRNGKey(12), cfg)
+    t = cfg.lookback * 100     # > 48 top frames -> 3 chunks
+    cond = jax.random.normal(jax.random.PRNGKey(13),
+                             (2, t // cfg.cond_rate, cfg.cond_dim))
+    ref = gen.generate_levels(params, cfg, 2, t, temperature=None,
+                              cond=cond, use_pallas=False)
+    got = gen.generate_levels(params, cfg, 2, t, temperature=None,
+                              cond=cond, use_pallas="interpret")
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
