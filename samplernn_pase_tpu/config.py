@@ -120,6 +120,7 @@ class TrainConfig:
     warmup_steps: int = 0
     decay_steps: int = 100_000
     grad_clip: float = 1.0
+    shuffle: bool = False          # permute utterance->lane per epoch
     profile_dir: str = ""          # jax.profiler trace of steps 10-12
     epochs: int = 10
     seed: int = 0

@@ -116,11 +116,19 @@ class WavCorpus:
         return utts, conds, spks
 
     def batcher(self, split: str, batch_size: int, seq_len: int,
-                overlap: int, cond_rate: int | None = None) -> StreamBatcher:
+                overlap: int, cond_rate: int | None = None,
+                shuffle_seed: int | None = None) -> StreamBatcher:
+        """shuffle_seed permutes utterance->lane assignment (the TBPTT
+        analogue of the reference DataLoader's shuffle: chunk order
+        within an utterance must stay sequential for state carry, so
+        only the utterance order varies between epochs)."""
         idx = {"train": self.train_idx, "val": self.val_idx,
                "test": self.test_idx}[split]
         if not idx:
             idx = self.train_idx
+        if shuffle_seed is not None:
+            rng = np.random.default_rng(shuffle_seed)
+            idx = [idx[i] for i in rng.permutation(len(idx))]
         if len(idx) < batch_size:
             # recycle utterances so every batch lane has a stream
             idx = (idx * (-(-batch_size // len(idx))))[:max(

@@ -199,10 +199,14 @@ class Trainer:
 
     # -- data ------------------------------------------------------------
     def _batcher(self, split):
+        shuffle_seed = None
+        if split == "train" and self.train_cfg.shuffle:
+            shuffle_seed = self.train_cfg.seed * 100_003 + self.epoch
         return self.corpus.batcher(
             split, self.train_cfg.batch_size, self.train_cfg.seq_len,
             self.model_cfg.lookback,
-            cond_rate=self.model_cfg.cond_rate or None)
+            cond_rate=self.model_cfg.cond_rate or None,
+            shuffle_seed=shuffle_seed)
 
     def _put(self, *arrays):
         if self.mesh is None:
