@@ -103,3 +103,19 @@ def test_generate_waveform_range():
     w = np.asarray(wav)
     assert w.shape == (2, 32)
     assert np.all(w >= -1.0) and np.all(w <= 1.0)
+
+
+def test_non_multiple_length_trims():
+    """length not divisible by lookback: output trimmed exactly, both
+    decode paths."""
+    params = samplernn.init_params(jax.random.PRNGKey(5), CFG)
+    for up in (False, "interpret"):
+        lv = gen.generate_levels(params, CFG, 2, 37, temperature=None,
+                                 use_pallas=up)
+        assert lv.shape == (2, 37), up
+    # trimmed output is a prefix of the longer generation (greedy)
+    a = np.asarray(gen.generate_levels(params, CFG, 2, 37,
+                                       temperature=None, use_pallas=False))
+    b = np.asarray(gen.generate_levels(params, CFG, 2, CFG.lookback * 5,
+                                       temperature=None, use_pallas=False))
+    np.testing.assert_array_equal(a, b[:, :37])
