@@ -107,3 +107,50 @@ def test_trainer_with_mesh_runs():
     t.run()
     assert t.global_step > 0
     assert np.isfinite(t.validate())
+
+
+def test_dp_conditioned_train_step_matches_single_device():
+    """DP equality with conditioning + speaker streams sharded over
+    'data' alongside the batch."""
+    cfg = SampleRNNConfig(frame_sizes=(4, 2), dim=16, embed_dim=8,
+                          cond_dim=6, cond_rate=8, n_speakers=4,
+                          compute_dtype="float32")
+    mesh = pm.make_mesh((8,), ("data",))
+    tx = make_optimizer(1e-2, 1.0)
+    params = samplernn.init_params(jax.random.PRNGKey(1), cfg)
+    b, t = 8, cfg.lookback * 4
+    rng = np.random.default_rng(1)
+    inputs = rng.integers(0, 256, (b, cfg.lookback + t), np.int32)
+    cond = rng.normal(size=(b, t // cfg.cond_rate,
+                            cfg.cond_dim)).astype(np.float32)
+    spk = rng.integers(0, 4, (b,), dtype=np.int32)
+    resets = np.ones((b,), np.float32)
+
+    def run(shard):
+        p = jax.tree.map(lambda a: jnp.array(a, copy=True), params)
+        opt = tx.init(p)
+        h = samplernn.initial_state(p, cfg, b)
+        x, y, r = (jnp.asarray(inputs), jnp.asarray(inputs[:, cfg.lookback:]),
+                   jnp.asarray(resets))
+        c, s = jnp.asarray(cond), jnp.asarray(spk)
+        if shard:
+            rep = pm.replicated(mesh)
+            p = jax.device_put(p, rep)
+            opt = jax.device_put(opt, rep)
+            h = tuple(jax.device_put(a, pm.state_sharding(mesh, a.ndim))
+                      for a in h)
+            x = jax.device_put(x, pm.batch_sharding(mesh, 2))
+            y = jax.device_put(y, pm.batch_sharding(mesh, 2))
+            r = jax.device_put(r, pm.batch_sharding(mesh, 1))
+            c = jax.device_put(c, pm.batch_sharding(mesh, 3))
+            s = jax.device_put(s, pm.batch_sharding(mesh, 1))
+        step = make_train_step(cfg, tx)
+        p2, _, _, nll = step(p, opt, h, x, y, r, cond=c, speakers=s)
+        return float(nll), jax.tree.leaves(p2)
+
+    nll_s, leaves_s = run(True)
+    nll_u, leaves_u = run(False)
+    assert abs(nll_s - nll_u) < 1e-5
+    for a, b_ in zip(leaves_s, leaves_u):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=1e-5)
