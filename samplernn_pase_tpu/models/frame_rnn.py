@@ -83,18 +83,36 @@ def tier_input(params, frames, upper_cond, ext_cond, compute_dtype):
     return x
 
 
-def tier_rnn(params, x, state, rnn_type: str, compute_dtype):
+def tier_rnn(params, x, state, rnn_type: str, compute_dtype,
+             use_pallas_rnn: bool = False):
     """Run the n_rnn-layer recurrent stack over the frame axis.
 
     x [B, N, dim]; state [n_rnn, ...] as built by tier_initial_state.
     Returns (h_seq [B, N, dim], new_state).
+
+    use_pallas_rnn routes GRU layers through the whole-sequence Pallas
+    kernel with a custom VJP (ops/pallas/rnn_train.py) — weights stay in
+    VMEM across all steps instead of paying lax.scan's per-iteration
+    cost. Interpreter mode is used automatically off-TPU.
     """
     h_seq = x
     new_states = []
     for i, layer in enumerate(params["rnn"]):
-        x_gates = rnn_cells.precompute_inputs(layer, h_seq, compute_dtype)
-        h_seq, final = rnn_cells.rnn_scan(
-            layer, state[i], x_gates, rnn_type, compute_dtype)
+        if use_pallas_rnn and rnn_type == "gru":
+            from samplernn_pase_tpu.ops.pallas.rnn_train import (
+                gru_sequence)
+            xs = jnp.swapaxes(h_seq, 0, 1)          # [N, B, H]
+            hs, final = gru_sequence(
+                xs, state[i], layer["w_ih"], layer["b_ih"],
+                layer["w_hh"], layer["b_hh"],
+                jnp.dtype(compute_dtype).name,
+                jax.default_backend() != "tpu")
+            h_seq = jnp.swapaxes(hs, 0, 1)
+        else:
+            x_gates = rnn_cells.precompute_inputs(layer, h_seq,
+                                                  compute_dtype)
+            h_seq, final = rnn_cells.rnn_scan(
+                layer, state[i], x_gates, rnn_type, compute_dtype)
         new_states.append(final)
     return h_seq, jnp.stack(new_states)
 
@@ -110,10 +128,12 @@ def tier_upsample(params, h_seq, frame_size: int, compute_dtype):
 
 
 def tier_apply(params, frames, upper_cond, ext_cond, state, *,
-               frame_size: int, rnn_type: str, compute_dtype):
+               frame_size: int, rnn_type: str, compute_dtype,
+               use_pallas_rnn: bool = False):
     """Full teacher-forced tier pass. Returns (cond_below, new_state)."""
     x = tier_input(params, frames, upper_cond, ext_cond, compute_dtype)
-    h_seq, new_state = tier_rnn(params, x, state, rnn_type, compute_dtype)
+    h_seq, new_state = tier_rnn(params, x, state, rnn_type, compute_dtype,
+                                use_pallas_rnn)
     return tier_upsample(params, h_seq, frame_size, compute_dtype), new_state
 
 

@@ -139,10 +139,14 @@ def forward(params: Params, cfg: SampleRNNConfig, inputs, state: State,
             x_float[:, lookback - span: lookback - span + t], span)
         ext = _tier_ext_cond(cond, n_frames, span, cfg.cond_rate)
 
+        use_prnn = (cfg.pallas_train_rnn and cfg.rnn_type == "gru"
+                    and cfg.dim % 128 == 0)
+
         def apply_fn(p, fr, up, ex, st, _fs=cfg.frame_sizes[k]):
             return frame_rnn.tier_apply(
                 p, fr, up, ex, st, frame_size=_fs,
-                rnn_type=cfg.rnn_type, compute_dtype=dt)
+                rnn_type=cfg.rnn_type, compute_dtype=dt,
+                use_pallas_rnn=use_prnn)
 
         if cfg.remat:
             # rematerialize tier activations in the backward pass
