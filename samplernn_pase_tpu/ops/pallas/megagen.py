@@ -1,7 +1,7 @@
 """Whole-generation Pallas megakernel (flagship decode path).
 
 One `pallas_call` runs the ENTIRE batched autoregressive generation for a
-K-tier GRU/LSTM SampleRNN (n_rnn=1): every weight matrix is DMA'd to VMEM
+K-tier (2 or 3) GRU/LSTM SampleRNN (n_rnn=1): every weight matrix is DMA'd to VMEM
 once, then a `fori_loop` over top-tier frames keeps per-tier states, the
 rolling sample window and all activations on-chip.  Tiers below the top
 are statically unrolled inside the loop body (their frame counts are the
