@@ -13,6 +13,11 @@ import time
 import jax
 import jax.numpy as jnp
 
+# persistent compile cache: the megakernel compile is ~3 min cold on the
+# dev box's remote-compile path; warm runs start in seconds
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
 BATCH = 128
 LENGTH = 16_384           # ~1.02 s of 16 kHz audio per lane
 TARGET = 1_024_000.0      # samples/sec/chip (64x realtime aggregate)
