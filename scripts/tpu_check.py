@@ -14,6 +14,11 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+# persistent compile cache (fast warm starts on the dev box)
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+
 from samplernn_pase_tpu.config import SampleRNNConfig
 from samplernn_pase_tpu.models import samplernn
 from samplernn_pase_tpu import generate as gen
