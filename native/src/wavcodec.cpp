@@ -147,22 +147,18 @@ int64_t srnn_load_quantized(const char* path, int32_t* out_levels,
 
 // --------------------------------------------------- TBPTT chunk gather
 
-// Assemble one aligned TBPTT batch step: for each lane b, copy
-// window [overlap + seq_len] from its stream at chunk k (streams are
-// pre-padded like StreamBatcher). inputs layout [B, overlap+seq_len].
-void srnn_gather_chunks(const int32_t* const* lane_streams,
-                        const int64_t* lane_lens, int32_t batch,
-                        int64_t k, int32_t seq_len, int32_t overlap,
-                        int32_t q_zero, int32_t* inputs) {
-  const int64_t w = overlap + seq_len;
+// Assemble one aligned TBPTT batch step: for each lane b, copy the
+// pre-computed window of `w` int32 levels starting at address srcs[b]
+// into row b of `out` [batch, w].  The Python StreamBatcher pre-pads
+// each utterance and pre-resolves per-(step, lane) window addresses, so
+// the per-step host work collapses to this one batched memcpy (the
+// reference's DataLoader re-slices and re-stacks in Python every step).
+void srnn_gather_windows(const int64_t* srcs, int32_t batch, int64_t w,
+                         int32_t* out) {
   for (int32_t b = 0; b < batch; ++b) {
-    const int64_t start = k * seq_len;
-    int32_t* dst = inputs + static_cast<int64_t>(b) * w;
-    const int64_t len = lane_lens[b];
-    for (int64_t i = 0; i < w; ++i) {
-      const int64_t src = start + i;
-      dst[i] = (src < len) ? lane_streams[b][src] : q_zero;
-    }
+    memcpy(out + static_cast<int64_t>(b) * w,
+           reinterpret_cast<const int32_t*>(srcs[b]),
+           static_cast<size_t>(w) * sizeof(int32_t));
   }
 }
 

@@ -45,6 +45,11 @@ def _override(cfg, args, fields):
         return cfg
     if "frame_sizes" in kw:
         kw["frame_sizes"] = tuple(kw["frame_sizes"])
+    # --dim on a config whose mlp_hidden tracked the old dim: keep it
+    # tracking (mlp_hidden must always equal dim; 0 = "follow dim")
+    if "dim" in kw and getattr(cfg, "mlp_hidden", None) == getattr(
+            cfg, "dim", None):
+        kw.setdefault("mlp_hidden", 0)
     return dataclasses.replace(cfg, **kw)
 
 
@@ -83,7 +88,8 @@ def cmd_train(args):
     if args.dataset:
         corpus = WavCorpus.from_folder(
             args.dataset, exp.model.q_levels,
-            cond_dir=args.cond_dir or None, codec=exp.model.codec)
+            cond_dir=args.cond_dir or None, codec=exp.model.codec,
+            sample_rate=tcfg.sample_rate)
     else:
         print("[train] no --dataset; using synthetic corpus", file=sys.stderr)
         corpus = synthetic_corpus(q_levels=exp.model.q_levels)
@@ -108,7 +114,7 @@ def cmd_train(args):
                 args.pase_ckpt, pase_cfg)
         params, bn_state, losses = J.run_joint_training(
             model, pase_cfg, tcfg, corpus, writer,
-            epochs=args.epochs or tcfg.epochs,
+            epochs=args.epochs if args.epochs is not None else tcfg.epochs,
             freeze_pase=args.freeze_pase,
             pase_params=pase_params, bn_state=bn_state)
         mgr = CheckpointManager(exp_dir / "ckpt", tcfg.max_to_keep)
@@ -135,15 +141,32 @@ def cmd_train(args):
         tr.CheckpointPlugin(mgr, tcfg.ckpt_every_steps),
     ]
     if tcfg.generate_every_steps:
+        # conditioned models emit conditioned samples (C14/C17): cached
+        # PASE streams from the corpus when available; n_speakers models
+        # default to one sequence per speaker inside the plugin
+        gen_kw = {}
+        if exp.model.cond_dim and corpus.conditioning is not None:
+            need = -(-tcfg.generate_length // exp.model.cond_rate)
+            idx = (corpus.val_idx or corpus.train_idx)[:2]
+            conds = []
+            for i in idx:
+                c = np.asarray(corpus.conditioning[i], np.float32)
+                if len(c) < need:
+                    pad = np.broadcast_to(
+                        c[-1:], (need - len(c), c.shape[1]))
+                    c = np.concatenate([c, pad])
+                conds.append(c[:need])
+            gen_kw["cond"] = np.stack(conds)
         plugins.append(tr.GeneratorPlugin(
             exp_dir / "samples", tcfg.generate_every_steps,
-            length=tcfg.generate_length, sample_rate=tcfg.sample_rate))
+            length=tcfg.generate_length, sample_rate=tcfg.sample_rate,
+            **gen_kw))
     t = tr.Trainer(exp.model, tcfg, corpus, plugins, mesh=mesh)
     if args.resume:
         if t.restore(mgr):
             print(f"[train] resumed at step {t.global_step}",
                   file=sys.stderr)
-    t.run(args.epochs or tcfg.epochs)
+    t.run(args.epochs if args.epochs is not None else tcfg.epochs)
     writer.close()
     mgr.close()
 
@@ -164,8 +187,9 @@ def cmd_extract(args):
         params, bn_state = pase_mod.init_pase(jax.random.PRNGKey(0), cfg)
         print("[extract] no --pase-ckpt: random-init encoder",
               file=sys.stderr)
-    paths = extract_to_dir(params, bn_state, cfg, args.dataset, args.out,
-                           args.batch_size or 16)
+    paths = extract_to_dir(
+        params, bn_state, cfg, args.dataset, args.out,
+        args.batch_size if args.batch_size is not None else 16)
     print(f"[extract] wrote {len(paths)} embedding files to {args.out}",
           file=sys.stderr)
 
@@ -185,8 +209,14 @@ def cmd_generate(args):
         sys.exit(f"no checkpoint under {exp_dir}/ckpt")
     params = restored["params"]
     gcfg = exp.generate
-    n = args.n_seqs or gcfg.n_seqs
-    length = args.length or gcfg.length
+
+    def flag(name, default):
+        # explicit None test: 0 is meaningful (--temperature 0 = greedy)
+        v = getattr(args, name)
+        return v if v is not None else default
+
+    n = flag("n_seqs", gcfg.n_seqs)
+    length = flag("length", gcfg.length)
     cond = None
     if args.cond:
         emb = np.load(args.cond)
@@ -196,8 +226,8 @@ def cmd_generate(args):
         speakers = np.full((n,), args.speaker, np.int32)
     levels = gen.generate_levels(
         params, exp.model, n, length,
-        args.temperature or gcfg.temperature,
-        jax.random.PRNGKey(args.seed or gcfg.seed),
+        flag("temperature", gcfg.temperature),
+        jax.random.PRNGKey(flag("seed", gcfg.seed)),
         cond=None if cond is None else np.asarray(cond),
         speakers=speakers)
     from samplernn_pase_tpu.ops.mulaw import (

@@ -34,7 +34,10 @@ class SampleRNNConfig:
     rnn_type: str = "gru"           # "gru" | "lstm"
     q_levels: int = 256
     embed_dim: int = 256            # sample-embedding size (reference: q_levels)
-    mlp_hidden: int = 1024
+    mlp_hidden: int = 0             # 0 = dim; the sample-MLP hidden width
+                                    # MUST equal dim (bottom-tier cond is
+                                    # added onto the first hidden layer,
+                                    # §3.4) — any other value raises
     cond_dim: int = 0               # 0 = unconditional; else PASE embedding dim
     cond_rate: int = 0              # samples per conditioning frame (e.g. 160)
     n_speakers: int = 0             # >0: learned speaker-lookup table whose
@@ -53,6 +56,11 @@ class SampleRNNConfig:
 
     def __post_init__(self):
         object.__setattr__(self, "frame_sizes", _tuple(self.frame_sizes))
+        if self.mlp_hidden not in (0, self.dim):
+            raise ValueError(
+                f"mlp_hidden={self.mlp_hidden} must equal dim={self.dim} "
+                "(or 0 = dim): the bottom tier's conditioning rows add "
+                "directly onto the sample-MLP's first hidden layer")
 
     @property
     def lookback(self) -> int:

@@ -72,20 +72,33 @@ class WavCorpus:
 
     @classmethod
     def from_folder(cls, path, q_levels: int = 256, val_frac: float = 0.1,
-                    cond_dir=None, codec: str = "mulaw"):
+                    cond_dir=None, codec: str = "mulaw",
+                    sample_rate: int | None = None, resample: bool = True):
         """Scan `path` for .wav files; optionally pair cached PASE
-        embeddings from `cond_dir` (one .npy per wav, same stem).
+        embeddings from `cond_dir` (one .npy per wav, keyed by the wav's
+        path relative to `path` — duplicate stems across speaker dirs
+        stay distinct).
+
+        Rate safety (C19): with ``sample_rate`` given, every file is
+        polyphase-resampled to it; with ``sample_rate=None`` the first
+        file's rate becomes the corpus rate and differing files are
+        resampled to match.  ``resample=False`` turns mismatches into a
+        hard error instead — a mixed-rate corpus never trains silently
+        at the wrong rate.
 
         Uses the native C++ fused wav->levels loader when the shared
         library is available (data/native_loader.py), else scipy+numpy.
         """
         from samplernn_pase_tpu.data import native_loader
+        from samplernn_pase_tpu.ops.audio_io import resample as _resample
 
-        files = sorted(Path(path).glob("**/*.wav"))
+        root = Path(path)
+        files = sorted(root.glob("**/*.wav"))
         if not files:
             raise FileNotFoundError(f"no .wav files under {path}")
         use_native = codec == "mulaw" and native_loader.available()
-        utts, names, conds, sr_out = [], [], [], None
+        utts, names, conds = [], [], []
+        target_rate = sample_rate
         # speaker id from parent directory name (speaker/utt.wav layout);
         # flat corpora get a single speaker 0
         dir_names = sorted({f.parent.name for f in files})
@@ -96,16 +109,37 @@ class WavCorpus:
                 lv, sr = native_loader.load_quantized(f, q_levels)
             else:
                 x, sr = read_wav(f)
+                lv = None
+            if target_rate is None:
+                target_rate = sr
+            if sr != target_rate:
+                if not resample:
+                    raise ValueError(
+                        f"{f}: sample rate {sr} != corpus rate "
+                        f"{target_rate} and resample=False")
+                x, _ = read_wav(f)   # mismatch: need the float waveform
+                x = _resample(x, sr, target_rate)
                 lv = _quantize_host(x, q_levels, codec)
-            sr_out = sr_out or sr
+            elif lv is None:
+                lv = _quantize_host(x, q_levels, codec)
+            rel = f.relative_to(root).with_suffix("")
             utts.append(lv)
-            names.append(f.stem)
+            names.append(rel.as_posix())
             speakers.append(spk_of[f.parent.name])
             if cond_dir is not None:
-                conds.append(np.load(Path(cond_dir) / f"{f.stem}.npy"))
-        return cls(utts, q_levels, sr_out or 16_000, names, val_frac,
+                cand = Path(cond_dir) / rel.parent / f"{f.stem}.npy"
+                if not cand.exists():   # legacy flat layout: bare stem
+                    cand = Path(cond_dir) / f"{f.stem}.npy"
+                conds.append(np.load(cand))
+        return cls(utts, q_levels, target_rate or 16_000, names, val_frac,
                    conds if cond_dir is not None else None,
                    speakers=speakers)
+
+    @property
+    def has_val(self) -> bool:
+        """True when a real held-out val split exists (hygiene: callers
+        must not treat the train-split fallback NLL as held-out)."""
+        return bool(self.val_idx)
 
     def _subset(self, idx):
         utts = [self.utterances[i] for i in idx]
@@ -125,6 +159,12 @@ class WavCorpus:
         idx = {"train": self.train_idx, "val": self.val_idx,
                "test": self.test_idx}[split]
         if not idx:
+            if split != "train":
+                import warnings
+                warnings.warn(
+                    f"corpus has no '{split}' split; falling back to the "
+                    "train split — metrics on it are NOT held-out",
+                    stacklevel=2)
             idx = self.train_idx
         if shuffle_seed is not None:
             rng = np.random.default_rng(shuffle_seed)

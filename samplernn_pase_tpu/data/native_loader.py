@@ -22,20 +22,37 @@ _lib = None
 _tried = False
 
 
+def _build() -> bool:
+    try:
+        subprocess.run(["make", "-C", str(_NATIVE_DIR)], check=True,
+                       capture_output=True, timeout=120)
+        return True
+    except Exception:
+        return False
+
+
+def _open():
+    try:
+        lib = ctypes.CDLL(str(_LIB_PATH))
+        lib.srnn_gather_windows  # newest symbol: stale-.so probe
+        return lib
+    except (OSError, AttributeError):
+        return None
+
+
 def _load():
     global _lib, _tried
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not _LIB_PATH.exists():
-        try:
-            subprocess.run(["make", "-C", str(_NATIVE_DIR)], check=True,
-                           capture_output=True, timeout=120)
-        except Exception:
+    lib = _open() if _LIB_PATH.exists() else None
+    if lib is None:
+        # missing or stale (predates the current symbol set): rebuild
+        _LIB_PATH.unlink(missing_ok=True)
+        if not _build():
             return None
-    try:
-        lib = ctypes.CDLL(str(_LIB_PATH))
-    except OSError:
+        lib = _open()
+    if lib is None:
         return None
     lib.srnn_mulaw_encode.argtypes = [
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
@@ -51,6 +68,9 @@ def _load():
         ctypes.c_char_p, ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
         ctypes.c_int32, ctypes.POINTER(ctypes.c_int32)]
     lib.srnn_load_quantized.restype = ctypes.c_int64
+    lib.srnn_gather_windows.argtypes = [
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int32, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32)]
     _lib = lib
     return _lib
 
@@ -108,6 +128,26 @@ def read_wav(path) -> tuple[np.ndarray, int]:
     got = lib.srnn_read_wav(str(path).encode(), _fptr(out), n,
                             ctypes.byref(sr))
     return out[:max(got, 0)], int(sr.value)
+
+
+def gather_windows(addrs: np.ndarray, w: int,
+                   out: np.ndarray | None = None) -> np.ndarray | None:
+    """Batched TBPTT window gather (StreamBatcher hot path).
+
+    addrs: int64 [B] array of host addresses, each pointing at `w`
+    contiguous int32 levels (views into the pre-padded utterance
+    streams). Returns int32 [B, w], or None when the native library is
+    unavailable (caller falls back to np.stack)."""
+    lib = _load()
+    if lib is None:
+        return None
+    b = addrs.shape[0]
+    if out is None:
+        out = np.empty((b, w), np.int32)
+    lib.srnn_gather_windows(
+        addrs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), b, w,
+        _iptr(out))
+    return out
 
 
 def load_quantized(path, q_levels: int = 256) -> tuple[np.ndarray, int]:

@@ -62,16 +62,32 @@ def extract_embeddings(params, bn_state, cfg: PASEConfig, wavs,
 
 def extract_to_dir(params, bn_state, cfg: PASEConfig, wav_dir, out_dir,
                    batch_size: int = 16):
-    """Folder-of-wavs -> one .npy of [frames, D] per utterance (C11)."""
+    """Folder-of-wavs -> one .npy of [frames, D] per utterance (C11).
+
+    Outputs mirror the input tree (keyed by the wav's path relative to
+    wav_dir, not the bare stem), so speaker/utt.wav layouts with
+    duplicate stems across speaker dirs never overwrite each other and
+    WavCorpus.from_folder(cond_dir=...) pairs the right arrays."""
     from samplernn_pase_tpu.ops.audio_io import read_wav
+
+    from samplernn_pase_tpu.ops.audio_io import resample
 
     wav_dir, out_dir = Path(wav_dir), Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     files = sorted(wav_dir.glob("**/*.wav"))
     if not files:
         raise FileNotFoundError(f"no .wav files under {wav_dir}")
-    wavs = [read_wav(f)[0] for f in files]
+    # rate safety (C19): the encoder's decimation assumes cfg.sample_rate
+    # (160x -> 100 Hz at 16 kHz) — resample so a mixed-rate corpus gets
+    # a consistent embedding rate instead of silently wrong frame counts
+    wavs = []
+    for f in files:
+        x, sr = read_wav(f)
+        wavs.append(resample(x, sr, cfg.sample_rate))
     embs = extract_embeddings(params, bn_state, cfg, wavs, batch_size)
-    for f, e in zip(files, embs):
-        np.save(out_dir / f"{f.stem}.npy", e)
-    return [out_dir / f"{f.stem}.npy" for f in files]
+    outs = [out_dir / f.relative_to(wav_dir).with_suffix(".npy")
+            for f in files]
+    for o, e in zip(outs, embs):
+        o.parent.mkdir(parents=True, exist_ok=True)
+        np.save(o, e)
+    return outs

@@ -330,10 +330,10 @@ def generate_levels(params, cfg: SampleRNNConfig, n_seqs: int, length: int,
 
 def generate(params, cfg: SampleRNNConfig, n_seqs: int, length: int,
              temperature: float | None = 1.0, key=None, cond=None,
-             use_pallas: bool | str | None = None):
+             use_pallas: bool | str | None = None, speakers=None):
     """Generate float waveforms [n_seqs, length] in [-1, 1]."""
     levels = generate_levels(params, cfg, n_seqs, length, temperature, key,
-                             cond, use_pallas=use_pallas)
+                             cond, use_pallas=use_pallas, speakers=speakers)
     if cfg.codec == "linear":
         return linear_dequantize(levels, cfg.q_levels)
     return mu_law_decode(levels, cfg.q_levels)

@@ -28,6 +28,22 @@ def read_wav(path) -> tuple[np.ndarray, int]:
     return np.clip(x, -1.0, 1.0), int(sr)
 
 
+def resample(x: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
+    """Polyphase resample a mono float waveform sr_in -> sr_out (C19:
+    the reference assumes a 16 kHz corpus; we make the expectation real
+    by resampling on load instead of training silently at the wrong
+    rate)."""
+    if sr_in == sr_out:
+        return np.asarray(x, np.float32)
+    from math import gcd
+
+    from scipy.signal import resample_poly
+
+    g = gcd(int(sr_in), int(sr_out))
+    y = resample_poly(np.asarray(x, np.float64), sr_out // g, sr_in // g)
+    return np.clip(y, -1.0, 1.0).astype(np.float32)
+
+
 def write_wav(path, x: np.ndarray, sample_rate: int = DEFAULT_SAMPLE_RATE) -> None:
     """Write a float waveform in [-1, 1] as int16 PCM."""
     x = np.clip(np.asarray(x, np.float32), -1.0, 1.0)

@@ -140,11 +140,39 @@ class StreamBatcher:
     def __len__(self) -> int:
         return min(len(lane) for lane in self.lanes) if self.batch_size else 0
 
+    def _window_addrs(self, n_steps: int) -> np.ndarray | None:
+        """Pre-resolve every (step, lane) window's host address for the
+        native batched gather — valid only when all windows are
+        contiguous int32 views (they are whenever the utterances came in
+        as int32, the WavCorpus contract)."""
+        addrs = np.empty((n_steps, self.batch_size), np.int64)
+        for b in range(self.batch_size):
+            lane = self.lanes[b]
+            for k in range(n_steps):
+                win = lane[k][0]
+                if win.dtype != np.int32 or not win.flags["C_CONTIGUOUS"]:
+                    return None
+                addrs[k, b] = win.ctypes.data
+        return addrs
+
     def __iter__(self) -> Iterator[TBPTTChunk]:
+        from samplernn_pase_tpu.data import native_loader
+
         n_steps = len(self)
+        w = self.overlap + self.seq_len
+        # hot path: one native memcpy-gather per step instead of a
+        # 128-lane Python np.stack; targets are a zero-copy view of the
+        # gathered inputs (they are inputs shifted by `overlap`)
+        addrs = (self._window_addrs(n_steps)
+                 if n_steps and native_loader.available() else None)
         for k in range(n_steps):
-            inputs = np.stack([self.lanes[b][k][0] for b in range(self.batch_size)])
-            targets = np.stack([self.lanes[b][k][1] for b in range(self.batch_size)])
+            if addrs is not None:
+                inputs = native_loader.gather_windows(addrs[k], w)
+            if addrs is None or inputs is None:
+                inputs = np.stack(
+                    [self.lanes[b][k][0] for b in range(self.batch_size)]
+                ).astype(np.int32)
+            targets = inputs[:, self.overlap:]
             resets = np.array(
                 [self.lanes[b][k][2] for b in range(self.batch_size)], bool
             )
@@ -153,10 +181,7 @@ class StreamBatcher:
                 speakers = np.array(
                     [self.lanes[b][k][4] for b in range(self.batch_size)],
                     np.int32)
-            chunk = TBPTTChunk(
-                inputs.astype(np.int32), targets.astype(np.int32), resets,
-                speakers
-            )
+            chunk = TBPTTChunk(inputs, targets, resets, speakers)
             if self.cond_dim:
                 cond = np.stack(
                     [self.lanes[b][k][3] for b in range(self.batch_size)]

@@ -15,13 +15,31 @@ import numpy as np
 import orbax.checkpoint as ocp
 
 
+def _best_metric(m) -> float:
+    # lower val NLL is better; BestN keeps the largest metric values
+    return -m.get("val_nll_bits", float("inf"))
+
+
 class CheckpointManager:
     def __init__(self, directory, max_to_keep: int = 3):
         self.dir = Path(directory).absolute()
         self.dir.mkdir(parents=True, exist_ok=True)
+        # "best + latest": the latest max_to_keep checkpoints are ALWAYS
+        # preserved (so restore() -> latest_step() never rewinds training),
+        # plus the single best-by-val-NLL.  A bare best_fn would switch
+        # Orbax to BestN-only retention and delete the most recent step
+        # after a val plateau.
+        pp = ocp.checkpoint_managers.preservation_policy
         options = ocp.CheckpointManagerOptions(
-            max_to_keep=max_to_keep,
-            best_fn=lambda m: -m.get("val_nll_bits", float("inf")),
+            preservation_policy=pp.AnyPreservationPolicy([
+                pp.LatestN(max_to_keep),
+                pp.BestN(get_metric_fn=_best_metric, n=1,
+                         keep_checkpoints_without_metrics=False),
+            ]),
+            # best_fn does NOT drive retention here (preservation_policy
+            # wins); it turns on metric persistence (_track_best), so
+            # BestN and best_step() still work after a process restart
+            best_fn=_best_metric,
             best_mode="max",
         )
         self.mgr = ocp.CheckpointManager(self.dir, options=options)
@@ -38,8 +56,24 @@ class CheckpointManager:
         self.mgr.save(
             step,
             args=ocp.args.StandardSave(payload),
+            # {} when there is no val metric: _best_metric({}) ranks it
+            # worst so BestN never preserves it (retention falls to
+            # LatestN alone), and orbax skips its metrics-missing warning
             metrics=metrics or {},
         )
+
+    def best_step(self):
+        """Step with the lowest recorded val_nll_bits; latest if none."""
+        best, best_v = None, float("inf")
+        for s in self.mgr.all_steps():
+            try:
+                m = self.mgr.metrics(s)
+            except Exception:
+                m = None
+            v = (m or {}).get("val_nll_bits")
+            if v is not None and float(v) < best_v:
+                best, best_v = s, float(v)
+        return best if best is not None else self.mgr.latest_step()
 
     def restore(self, step: int | None = None, template=None):
         step = step if step is not None else self.mgr.latest_step()

@@ -98,60 +98,105 @@ class ValidationPlugin(Plugin):
     def __init__(self, writer: MetricsWriter, every_steps: int = 500):
         self.writer, self.every = writer, every_steps
 
+    def _record(self, trainer, nll, **where):
+        trainer.last_val_nll = nll
+        extra = {}
+        if trainer.val_is_train_fallback:
+            # tiny corpus: the val split was empty and the batcher fell
+            # back to the train split — tag the metric so readers (and
+            # best-checkpoint selection) don't mistake it for held-out NLL
+            extra["val_is_train_fallback"] = True
+        self.writer.write(split="val", nll_bits=nll, **where, **extra)
+
     def on_step(self, trainer, step, metrics):
         if self.every and step > 0 and step % self.every == 0:
-            nll = trainer.validate()
-            trainer.last_val_nll = nll
-            self.writer.write(step=step, split="val", nll_bits=nll)
+            self._record(trainer, trainer.validate(), step=step)
 
     def on_epoch_end(self, trainer, epoch):
-        nll = trainer.validate()
-        trainer.last_val_nll = nll
-        self.writer.write(epoch=epoch, split="val", nll_bits=nll)
+        self._record(trainer, trainer.validate(), epoch=epoch)
 
 
 class CheckpointPlugin(Plugin):
     def __init__(self, manager, every_steps: int = 500):
         self.mgr, self.every = manager, every_steps
 
-    def _save(self, trainer, step):
+    def _save(self, trainer, step, next_step):
+        # val NLL drives best-checkpoint retention — exclude it when the
+        # "val" split silently fell back to train data (hygiene: a train
+        # NLL must not select the "best" checkpoint)
+        metrics = None
+        if (trainer.last_val_nll is not None
+                and not trainer.val_is_train_fallback):
+            metrics = {"val_nll_bits": float(trainer.last_val_nll)}
+        # cursor = (epoch, last trained batch idx, next global step):
+        # restore() skips batches <= batch_idx and numbers the first
+        # post-resume batch `next_step` — no retrain, no double-logging
         self.mgr.save(
             step, trainer.params, trainer.opt_state, trainer.hiddens,
-            cursor=np.asarray([trainer.epoch, trainer.batch_idx]),
-            metrics={"val_nll_bits": float(trainer.last_val_nll)}
-            if trainer.last_val_nll is not None else {})
+            cursor=np.asarray([trainer.epoch, trainer.batch_idx,
+                               next_step]),
+            metrics=metrics)
 
     def on_step(self, trainer, step, metrics):
         if self.every and step > 0 and step % self.every == 0:
-            self._save(trainer, step)
+            self._save(trainer, step, step + 1)
 
     def on_train_end(self, trainer):
-        self._save(trainer, trainer.global_step)
+        self._save(trainer, trainer.global_step, trainer.global_step)
         self.mgr.wait()
 
 
 class GeneratorPlugin(Plugin):
     """Periodically writes generated wavs, like the reference's
-    per-epoch sample generation (C14/C17)."""
+    per-epoch sample generation (C14/C17).
+
+    Conditioned models generate *conditioned* audio: pass ``speakers``
+    (per-sequence ids for cfg.n_speakers models) and/or ``cond`` (a
+    [n_seqs, frames, cond_dim] PASE-embedding stream).  With neither
+    given, a speaker-conditioned model defaults to one sequence per
+    speaker id (0..n-1) so the periodic artifacts exercise the actual
+    TTS path instead of silently decoding unconditioned."""
 
     def __init__(self, out_dir, every_steps: int, n_seqs: int = 2,
                  length: int = 16_000, sample_rate: int = 16_000,
-                 temperature: float = 1.0):
+                 temperature: float = 1.0, speakers=None, cond=None):
         from pathlib import Path
         self.dir = Path(out_dir)
         self.dir.mkdir(parents=True, exist_ok=True)
         self.every, self.n, self.length = every_steps, n_seqs, length
         self.sr, self.temp = sample_rate, temperature
+        self.speakers = (None if speakers is None
+                         else np.asarray(speakers, np.int32))
+        self.cond = None if cond is None else np.asarray(cond, np.float32)
+
+    def _cond_args(self, trainer):
+        cfg = trainer.model_cfg
+        speakers, cond, n = self.speakers, self.cond, self.n
+        if cond is None and speakers is None and cfg.n_speakers:
+            speakers = np.arange(n, dtype=np.int32) % cfg.n_speakers
+        if speakers is not None:
+            n = len(speakers)
+        if cond is not None:
+            n = cond.shape[0]
+            need = -(-self.length // cfg.cond_rate)
+            if cond.shape[1] < need:   # clamp-extend the stream
+                pad = np.broadcast_to(
+                    cond[:, -1:], (n, need - cond.shape[1], cond.shape[2]))
+                cond = np.concatenate([cond, pad], axis=1)
+        return n, speakers, cond
 
     def _generate(self, trainer, tag):
         from samplernn_pase_tpu import generate as gen
         from samplernn_pase_tpu.ops.audio_io import write_wav
+        n, speakers, cond = self._cond_args(trainer)
         wav = gen.generate(
-            trainer.params, trainer.model_cfg, n_seqs=self.n,
+            trainer.params, trainer.model_cfg, n_seqs=n,
             length=self.length, temperature=self.temp,
-            key=jax.random.PRNGKey(trainer.global_step))
-        for i in range(self.n):
-            write_wav(self.dir / f"{tag}_seq{i}.wav",
+            key=jax.random.PRNGKey(trainer.global_step),
+            cond=cond, speakers=speakers)
+        for i in range(n):
+            spk = f"_spk{int(speakers[i])}" if speakers is not None else ""
+            write_wav(self.dir / f"{tag}_seq{i}{spk}.wav",
                       np.asarray(wav[i]), self.sr)
 
     def on_step(self, trainer, step, metrics):
@@ -186,8 +231,11 @@ class Trainer:
         self.global_step = 0
         self.epoch = 0
         self.batch_idx = 0
-        self._resume_batch_idx = 0
+        self._resume_batch_idx = -1   # -1 = not resuming (0 is a valid idx)
         self.last_val_nll = None
+        # True when the corpus has no held-out split and "val" batches
+        # silently reuse train data (see ValidationPlugin/CheckpointPlugin)
+        self.val_is_train_fallback = not getattr(corpus, "has_val", True)
         if mesh is not None:
             from samplernn_pase_tpu.parallel import mesh as pm
             self.params = jax.device_put(self.params, pm.replicated(mesh))
@@ -239,15 +287,16 @@ class Trainer:
             p.on_train_start(self)
         samples_per_chunk = (self.train_cfg.batch_size
                              * self.train_cfg.seq_len)
-        skip_until = self._resume_batch_idx
-        self._resume_batch_idx = 0
+        skip_until = self._resume_batch_idx   # -1 unless resuming
+        self._resume_batch_idx = -1
         for epoch in range(self.epoch, epochs):
             self.epoch = epoch
             for i, item in enumerate(self._batcher("train")):
-                if skip_until and i <= skip_until:
+                if i <= skip_until:
                     # exact mid-epoch resume: the checkpoint carries the
                     # data cursor and the TBPTT hidden states, so we
-                    # fast-forward past already-trained chunks
+                    # fast-forward past already-trained chunks (including
+                    # chunk 0 — the cursor is the last *trained* index)
                     continue
                 self.batch_idx = i
                 chunk, cond = self._split_batch(item)
@@ -277,7 +326,7 @@ class Trainer:
                 for p in self.plugins:
                     p.on_step(self, self.global_step, metrics)
                 self.global_step += 1
-            skip_until = 0
+            skip_until = -1
             for p in self.plugins:
                 p.on_epoch_end(self, epoch)
         for p in self.plugins:
@@ -303,7 +352,7 @@ class Trainer:
     def restore(self, manager) -> bool:
         template = {"params": self.params, "opt_state": self.opt_state,
                     "hiddens": list(self.hiddens),
-                    "cursor": np.zeros(2)}
+                    "cursor": np.zeros(3)}
         restored = manager.restore(template=template)
         if restored is None:
             return False
@@ -311,8 +360,13 @@ class Trainer:
         self.opt_state = restored["opt_state"]
         if restored.get("hiddens") is not None:
             self.hiddens = tuple(restored["hiddens"])
-        if restored.get("cursor") is not None:
-            self.epoch = int(restored["cursor"][0])
-            self._resume_batch_idx = int(restored["cursor"][1])
-        self.global_step = int(restored["step"])
+        cursor = restored.get("cursor")
+        if cursor is not None:
+            self.epoch = int(cursor[0])
+            self._resume_batch_idx = int(cursor[1])
+            self.global_step = int(cursor[2])
+        else:
+            # checkpoint without a cursor: the saved step was trained —
+            # number the first post-resume batch after it
+            self.global_step = int(restored["step"]) + 1
         return True

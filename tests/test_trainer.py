@@ -74,7 +74,7 @@ def test_checkpoint_roundtrip(tmp_path):
     t.run()
     mgr = CheckpointManager(tmp_path / "ckpt")
     mgr.save(t.global_step, t.params, t.opt_state, t.hiddens,
-             cursor=np.asarray([t.epoch, t.batch_idx]))
+             cursor=np.asarray([t.epoch, t.batch_idx, t.global_step]))
     mgr.wait()
 
     t2 = tr.Trainer(CFG, tcfg, corpus)
@@ -132,7 +132,8 @@ def test_mid_epoch_resume_skips_trained_chunks(tmp_path):
                 mgr.save(step, trainer.params, trainer.opt_state,
                          trainer.hiddens,
                          cursor=np.asarray([trainer.epoch,
-                                            trainer.batch_idx]))
+                                            trainer.batch_idx,
+                                            step + 1]))
                 mgr.wait()
                 mgr.close()
                 raise Stop()
