@@ -69,17 +69,17 @@ def tier_input(params, frames, upper_cond, ext_cond, compute_dtype):
     frames      [B, N, span] float (dequantized samples)
     upper_cond  [B, N, dim] or None   — upsampled tier-above output
     ext_cond    [B, N, cond_dim] or None — external (PASE) conditioning
-    returns     [B, N, dim] f32
+    returns     [B, N, dim] in compute_dtype (the consumer is the RNN
+    gate matmul, which runs in compute_dtype anyway)
     """
-    x = jnp.matmul(frames.astype(compute_dtype),
-                   wnorm.resolve(params["w_in"]).astype(compute_dtype),
-                   preferred_element_type=jnp.float32) + params["b_in"]
+    x = (jnp.matmul(frames.astype(compute_dtype),
+                    wnorm.resolve(params["w_in"]).astype(compute_dtype))
+         + params["b_in"].astype(compute_dtype))
     if upper_cond is not None:
-        x = x + upper_cond
+        x = x + upper_cond.astype(compute_dtype)
     if ext_cond is not None:
         x = x + jnp.matmul(ext_cond.astype(compute_dtype),
-                           params["w_cond"].astype(compute_dtype),
-                           preferred_element_type=jnp.float32)
+                           params["w_cond"].astype(compute_dtype))
     return x
 
 
@@ -118,12 +118,17 @@ def tier_rnn(params, x, state, rnn_type: str, compute_dtype,
 
 
 def tier_upsample(params, h_seq, frame_size: int, compute_dtype):
-    """h_seq [B, N, dim] -> conditioning [B, N*frame_size, dim]."""
+    """h_seq [B, N, dim] -> conditioning [B, N*frame_size, dim].
+
+    Output stays in compute_dtype: this is the biggest activation in the
+    model ([B, T, dim]) and every consumer (child tier input add, sample
+    MLP first layer) immediately feeds a compute_dtype matmul — f32
+    storage would double its HBM traffic for no accuracy gain."""
     b, n, dim = h_seq.shape
     up = jnp.matmul(h_seq.astype(compute_dtype),
-                    wnorm.resolve(params["w_up"]).astype(compute_dtype),
-                    preferred_element_type=jnp.float32)
-    up = up.reshape(b, n, frame_size, dim) + params["b_up"]
+                    wnorm.resolve(params["w_up"]).astype(compute_dtype))
+    up = (up.reshape(b, n, frame_size, dim)
+          + params["b_up"].astype(compute_dtype))
     return up.reshape(b, n * frame_size, dim)
 
 

@@ -63,9 +63,15 @@ def mlp_apply(params, samples, cond, frame_size: int, compute_dtype):
     """
     b, tw = samples.shape
     t = tw - frame_size + 1
-    e = params["embed"].shape[1]
+    q, e = params["embed"].shape
     hidden = params["b_h"].shape[0]
-    emb = params["embed"][samples].astype(compute_dtype)  # [B, TW, E]
+    # embedding as a one-hot matmul, not a gather: numerically identical
+    # (a row-select plus adds of exact zeros), but the backward pass
+    # w.r.t. the embedding table becomes one small MXU matmul instead of
+    # a 34M-element scatter-add (TPU scatters are slow; measured on the
+    # flagship train step this is worth several ms)
+    oh = jax.nn.one_hot(samples, q, dtype=compute_dtype)
+    emb = jnp.matmul(oh, params["embed"].astype(compute_dtype))
     # sliding window as ONE valid conv (kernel width = frame_size): the
     # materialized im2col form costs ~2 GB of intermediates at the
     # flagship shape; XLA lowers this conv straight onto the MXU.
@@ -74,17 +80,19 @@ def mlp_apply(params, samples, cond, frame_size: int, compute_dtype):
     w = wnorm.resolve(params["w_in"]).reshape(
         frame_size, e, hidden).astype(compute_dtype)
     # same-dtype in/out keeps the conv transpose (backward) rule happy;
-    # TPU convs accumulate in f32 internally regardless.
+    # TPU convs accumulate in f32 internally regardless.  Activations
+    # stay in compute_dtype end-to-end (f32 storage would double the HBM
+    # traffic of the [B, T, hidden] intermediates; the final logits
+    # matmul accumulates and returns f32 for the softmax).
     x = jax.lax.conv_general_dilated(
         emb, w, window_strides=(1,), padding="VALID",
         dimension_numbers=("NWC", "WIO", "NWC"))
-    x = x.astype(jnp.float32) + params["b_in"]
-    h = jax.nn.relu(x + cond)
+    h = jax.nn.relu(x + params["b_in"].astype(compute_dtype)
+                    + cond.astype(compute_dtype))
     h = jax.nn.relu(
-        jnp.matmul(h.astype(compute_dtype),
-                   wnorm.resolve(params["w_h"]).astype(compute_dtype),
-                   preferred_element_type=jnp.float32) + params["b_h"])
-    return jnp.matmul(h.astype(compute_dtype),
+        jnp.matmul(h, wnorm.resolve(params["w_h"]).astype(compute_dtype))
+        + params["b_h"].astype(compute_dtype))
+    return jnp.matmul(h,
                       wnorm.resolve(params["w_out"]).astype(compute_dtype),
                       preferred_element_type=jnp.float32) + params["b_out"]
 

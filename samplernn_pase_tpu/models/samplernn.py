@@ -139,7 +139,10 @@ def forward(params: Params, cfg: SampleRNNConfig, inputs, state: State,
             x_float[:, lookback - span: lookback - span + t], span)
         ext = _tier_ext_cond(cond, n_frames, span, cfg.cond_rate)
 
-        use_prnn = (cfg.pallas_train_rnn and cfg.rnn_type == "gru"
+        flag = cfg.pallas_train_rnn
+        enabled = (flag is True or
+                   (flag == "auto" and jax.default_backend() == "tpu"))
+        use_prnn = (enabled and cfg.rnn_type == "gru"
                     and cfg.dim % 128 == 0)
 
         def apply_fn(p, fr, up, ex, st, _fs=cfg.frame_sizes[k]):
@@ -162,10 +165,17 @@ def forward(params: Params, cfg: SampleRNNConfig, inputs, state: State,
 
 
 def nll_bits(logits, targets):
-    """Cross-entropy in bits/sample (C13; 'NLL parity', BASELINE.json:2)."""
-    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    ll = jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
-    return -jnp.mean(ll) / jnp.log(2.0)
+    """Cross-entropy in bits/sample (C13; 'NLL parity', BASELINE.json:2).
+
+    logsumexp-minus-onehot form: identical value to
+    take_along_axis(log_softmax(...)) but avoids materializing the full
+    [B, T, q] log-probability tensor and the per-element gather — the
+    one-hot select fuses into the reduction on TPU."""
+    logits = logits.astype(jnp.float32)
+    lse = jax.scipy.special.logsumexp(logits, axis=-1)
+    oh = jax.nn.one_hot(targets, logits.shape[-1], dtype=logits.dtype)
+    picked = jnp.sum(logits * oh, axis=-1)
+    return jnp.mean(lse - picked) / jnp.log(2.0)
 
 
 def loss_fn(params: Params, cfg: SampleRNNConfig, batch_inputs,
