@@ -33,7 +33,7 @@ FLOORS = {
     "gen_flagship_2tier_gru": 10_000_000.0,
     "gen_3tier_lstm": 5_000_000.0,
     "gen_conditioned_tts": 8_000_000.0,
-    "train_step_ms_b128_seq1024": 60.0,
+    "train_step_ms_b128_seq1024": 48.0,
 }
 
 
