@@ -140,7 +140,8 @@ def _megakernel_weight_bytes(cfg):
     """bf16 VMEM footprint of the megakernel's resident weights."""
     h, e, q = cfg.dim, cfg.embed_dim, cfg.q_levels
     gates = 3 if cfg.rnn_type == "gru" else 4
-    total = q * e + cfg.frame_sizes[0] * e * h + h * h + h * q  # mlp
+    # fused-embedding mode stores W' = embed @ w_in per slot: [f1*q, h]
+    total = q * e + cfg.frame_sizes[0] * max(e, q) * h + h * h + h * q
     for k, f in enumerate(cfg.frame_sizes):
         total += (cfg.tier_spans[k] * h          # input proj
                   + 2 * gates * h * h            # w_ih + w_hh
@@ -156,6 +157,8 @@ def _full_kernel_eligible(cfg, cond, use_pallas, temperature):
         return False
     if cfg.n_tiers not in (2, 3) or cfg.n_rnn != 1:
         return False
+    if cfg.frame_sizes[0] < 2:
+        return False  # pipelined window split needs >= 2 slots
     # in-kernel dynamic lane slicing of the hoisted cond rows needs
     # 128-aligned offsets (interpret mode does not enforce tiling)
     if cfg.dim % 128 != 0 and use_pallas != "interpret":

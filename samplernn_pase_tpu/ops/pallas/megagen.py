@@ -71,8 +71,14 @@ def _cell(rnn_type, x, state, wih, bih, whh, bhh, hdim):
     return jnp.stack([h_new, c_new])
 
 
+def _onehot_col(levels_col, n_levels, dtype):
+    b = levels_col.shape[0]
+    ids = jax.lax.broadcasted_iota(jnp.int32, (b, n_levels), 1)
+    return (levels_col == ids).astype(dtype)
+
+
 def _kernel(frame_sizes, n_top, q_levels, deterministic, cond_rate,
-            rnn_type, use_ring, seed_ref, temp_ref, *refs):
+            rnn_type, use_ring, fused_embed, seed_ref, temp_ref, *refs):
     # VMEM scratch (tail of the ref list): per-frame hoisted cond rows,
     # per-frame gumbel noise, and (ring mode) the embedded window
     if use_ring:
@@ -138,6 +144,19 @@ def _kernel(frame_sizes, n_top, q_levels, deterministic, cond_rate,
                        preferred_element_type=jnp.float32) \
             + bup[pl.ds(j, 1), :]
 
+    # Window slot content: fused_embed folds the embedding table into the
+    # first-layer weight (wmi rows become per-slot [q, H] tables, built by
+    # the host wrapper), so slots hold ONE-HOTS and the per-step
+    # sample->embedding matmul disappears from the serial chain.  Unfused
+    # (f32 exactness path) slots hold embedding rows as before.
+    sw = q_levels if fused_embed else e       # window slot width
+    head_rows = (f1 - 1) * sw  # w_in rows for the f1-1 "known" window slots
+
+    def unit_col(col):
+        if fused_embed:
+            return _onehot_col(col, q_levels, wmi_ref.dtype)
+        return _embed_col(col, embed, q_levels).astype(wmi_ref.dtype)
+
     def mlp_step(i, carry):
         """use_ring: the embedded window lives in the ebuf scratch at
         E-aligned slots (one [B,E] write per step; the shifting form
@@ -145,19 +164,34 @@ def _kernel(frame_sizes, n_top, q_levels, deterministic, cond_rate,
         pure VPU traffic). Slots: at step i the window is samples
         [i, i+f1) at byte-aligned columns [i*E, (i+f1)*E).
 
-        cond rows and gumbel noise are hoisted out of the step (one big
-        matmul / one PRNG call per frame) — the AR critical path is the
-        3 MLP matmuls + argmax + one-hot embed only."""
-        emb_win, block = carry
+        Software pipelining: step i's window matmul is split into
+        `partial` (the f1-1 slots that were known before step i-1's
+        sample — the bulk, ~15/16 of the FLOPs, carried in from the
+        previous iteration) plus one E-row tail matmul on the newest
+        embed. The partial for step i+1 only reads slots written by
+        step i-1, so Mosaic can issue that big matmul concurrently with
+        this step's serial VPU tail (gumbel add, argmax, one-hot embed)
+        — the AR critical path shrinks to tail + w_h + w_out + argmax.
+        cond rows and gumbel noise stay hoisted per frame."""
+        partial, prev_emb, emb_win, block = carry
+        # issue the NEXT step's window-head matmul first: every slot it
+        # reads was written before this step began, so loading before
+        # this step's ebuf store keeps Mosaic's same-ref ordering from
+        # serializing it behind the store — the scheduler is then free
+        # to run this 15/16-of-the-FLOPs dot alongside the serial chain
+        if use_ring:
+            head = ebuf_ref[:, pl.ds((i + 1) * sw, head_rows)]
+        else:
+            head = emb_win[:, sw:]
+        partial_next = jnp.dot(head, wmi_ref[pl.ds(0, head_rows), :],
+                               preferred_element_type=jnp.float32)
         bup0 = tier_refs[0][7]
         cond_i = cond_sc_ref[:, pl.ds(i * hdim, hdim)] \
             + bup0[pl.ds(i, 1), :]
-        if use_ring:
-            win_now = ebuf_ref[:, pl.ds(i * e, f1 * e)]
-        else:
-            win_now = emb_win
-        xm = jnp.dot(win_now, wmi_ref[:],
-                     preferred_element_type=jnp.float32) + bmi_ref[:]
+        xm = (partial
+              + jnp.dot(prev_emb, wmi_ref[pl.ds(head_rows, sw), :],
+                        preferred_element_type=jnp.float32)
+              + bmi_ref[:])
         hm = jnp.maximum(xm + cond_i, 0.0).astype(wmh_ref.dtype)
         hm = jnp.maximum(
             jnp.dot(hm, wmh_ref[:], preferred_element_type=jnp.float32)
@@ -170,14 +204,18 @@ def _kernel(frame_sizes, n_top, q_levels, deterministic, cond_rate,
             scores = logits + temp * gum_sc_ref[i]
         sample = jnp.argmax(scores, axis=-1,
                             keepdims=True).astype(jnp.int32)
-        new_emb = _embed_col(sample, embed,
-                             q_levels).astype(wmi_ref.dtype)
+        # fused mode: the new slot is just the one-hot (a VPU compare) —
+        # no sample->embedding matmul on the serial chain
+        new_emb = unit_col(sample)
         if use_ring:
-            ebuf_ref[:, pl.ds((i + f1) * e, e)] = new_emb
+            ebuf_ref[:, pl.ds((i + f1) * sw, sw)] = new_emb
+            emb_win_next = emb_win      # dummy placeholder
         else:
-            emb_win = jnp.concatenate([emb_win[:, e:], new_emb], axis=1)
+            # shifting window: window i+1 = [emb_win_i[:, sw:], new_emb]
+            emb_win_next = jnp.concatenate([emb_win[:, sw:], new_emb],
+                                           axis=1)
         block = jnp.concatenate([block[:, 1:], sample], axis=1)
-        return (emb_win, block)
+        return (partial_next, new_emb, emb_win_next, block)
 
     def decode(k, upper, pos, ctx):
         """Decode one tier-k frame (spans[k] samples). ctx: dict with
@@ -200,11 +238,15 @@ def _kernel(frame_sizes, n_top, q_levels, deterministic, cond_rate,
                 u23 = jnp.bitwise_and(bits, jnp.int32(0x7FFFFF))
                 u = (u23.astype(jnp.float32) * (1.0 / (1 << 23)) + 1e-7)
                 gum_sc_ref[:] = -jnp.log(-jnp.log(u))
-            ctx["emb_win"], block = jax.lax.fori_loop(
-                0, f1, mlp_step, (ctx["emb_win"], prev))
+            (ctx["partial"], ctx["prev_emb"], ctx["emb_win"],
+             block) = jax.lax.fori_loop(
+                0, f1, mlp_step,
+                (ctx["partial"], ctx["prev_emb"], ctx["emb_win"], prev))
             if use_ring:
                 # slide the window back to slots [0, f1) for next frame
-                ebuf_ref[:, :f1 * e] = ebuf_ref[:, f1 * e:2 * f1 * e]
+                # (partial/prev_emb carry values, not slot positions, so
+                # the slide does not invalidate them)
+                ebuf_ref[:, :f1 * sw] = ebuf_ref[:, f1 * sw:2 * f1 * sw]
             ctx["last"][0] = block
             return block
         parts = []
@@ -216,29 +258,39 @@ def _kernel(frame_sizes, n_top, q_levels, deterministic, cond_rate,
         return frame
 
     def top_body(t, carry):
-        emb_win, top_frame, h_tuple = carry
+        partial, prev_emb, emb_win, top_frame, h_tuple = carry
         ctx = {
             "h": list(h_tuple),
+            "partial": partial,
+            "prev_emb": prev_emb,
             "emb_win": emb_win,
             # tails of the previous top frame seed every tier's window
             "last": [top_frame[:, lookback - s:] for s in spans],
         }
         new_frame = decode(k_tiers - 1, None, t * lookback, ctx)
         out_ref[t] = new_frame
-        return (ctx["emb_win"], new_frame, tuple(ctx["h"]))
+        return (ctx["partial"], ctx["prev_emb"], ctx["emb_win"],
+                new_frame, tuple(ctx["h"]))
 
     win16_0 = win_ref[:, lookback - f1:]
     if use_ring:
         for k in range(f1):
-            ebuf_ref[:, k * e:(k + 1) * e] = _embed_col(
-                win16_0[:, k:k + 1], embed, q_levels).astype(wmi_ref.dtype)
+            ebuf_ref[:, k * sw:(k + 1) * sw] = unit_col(
+                win16_0[:, k:k + 1])
         emb_win0 = jnp.zeros((b, 1), wmi_ref.dtype)  # unused placeholder
+        head0 = ebuf_ref[:, :head_rows]
+        prev_emb0 = ebuf_ref[:, pl.ds(head_rows, sw)]
     else:
         emb_win0 = jnp.concatenate(
-            [_embed_col(win16_0[:, k:k + 1], embed, q_levels)
-             for k in range(f1)], axis=1).astype(wmi_ref.dtype)
-    init = (emb_win0, win_ref[:], tuple(h[:] for h in h_refs))
-    _, _, h_fin = jax.lax.fori_loop(0, n_top, top_body, init)
+            [unit_col(win16_0[:, k:k + 1]) for k in range(f1)],
+            axis=1)
+        head0 = emb_win0[:, :head_rows]
+        prev_emb0 = emb_win0[:, head_rows:]
+    partial0 = jnp.dot(head0, wmi_ref[pl.ds(0, head_rows), :],
+                       preferred_element_type=jnp.float32)
+    init = (partial0, prev_emb0, emb_win0, win_ref[:],
+            tuple(h[:] for h in h_refs))
+    _, _, _, _, h_fin = jax.lax.fori_loop(0, n_top, top_body, init)
     for k in range(k_tiers):
         hout_refs[k][:] = h_fin[k]
 
@@ -290,6 +342,25 @@ def generate_full_pallas(window, states, temperature, seed, tiers, mlp, *,
     tier_args = ()
     for t in tiers:
         tier_args = tier_args + prep(t)
+    k = len(tiers)
+    f1 = frame_sizes[0]
+    e_dim = mlp["embed"].shape[1]
+    # Fused-embedding mode (bf16 only): fold the embedding table into
+    # the first MLP layer per window slot — W'[j] = embed @ W_in[j] —
+    # so window slots hold one-hots and the per-step embedding matmul
+    # leaves the kernel's serial chain.  The f32 path keeps the unfused
+    # form: its value is bit-exactness vs the XLA scan, and the
+    # refactored product order (onehot @ (embed@W)) rounds differently.
+    fused_embed = wt != jnp.float32 and f1 > 1
+    w_in_mlp = _wn(mlp["w_in"])
+    if fused_embed:
+        w_fused = jnp.einsum(
+            "qe,jeh->jqh",
+            mlp["embed"].astype(jnp.float32),
+            w_in_mlp.reshape(f1, e_dim, hdim).astype(jnp.float32))
+        w_in_arg = w_fused.reshape(f1 * q_levels, hdim).astype(wt)
+    else:
+        w_in_arg = w_in_mlp.astype(wt)
     args = (
         jnp.asarray(seed, jnp.int32).reshape(1),
         jnp.asarray(temperature, jnp.float32).reshape(1),
@@ -299,7 +370,7 @@ def generate_full_pallas(window, states, temperature, seed, tiers, mlp, *,
           for s in states),
         *tier_args,
         mlp["embed"].astype(wt),
-        _wn(mlp["w_in"]).astype(wt),
+        w_in_arg,
         mlp["b_in"].astype(jnp.float32).reshape(1, hdim),
         _wn(mlp["w_h"]).astype(wt),
         mlp["b_h"].astype(jnp.float32).reshape(1, hdim),
@@ -309,21 +380,20 @@ def generate_full_pallas(window, states, temperature, seed, tiers, mlp, *,
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     n_smem = 3 if cond_rate else 2   # seed, temp[, cond offsets]
-    k = len(tiers)
-    f1 = frame_sizes[0]
-    e_dim = mlp["embed"].shape[1]
-    # ring-buffered embed window needs E-aligned (128-lane) dynamic
-    # column offsets; small-E test configs use the shifting fallback
-    use_ring = (e_dim % 128 == 0)
+    slot_w = q_levels if fused_embed else e_dim
+    # ring-buffered window needs slot-aligned (128-lane) dynamic column
+    # offsets; small-slot test configs use the shifting fallback
+    use_ring = (slot_w % 128 == 0)
     scratch = [
         pltpu.VMEM((b, f1 * hdim), jnp.float32),      # hoisted cond rows
         pltpu.VMEM((f1, b, q_levels), jnp.float32),   # per-frame gumbel
     ]
     if use_ring:
-        scratch.append(pltpu.VMEM((b, 2 * f1 * e_dim), wt))
+        scratch.append(pltpu.VMEM((b, 2 * f1 * slot_w), wt))
     outs = pl.pallas_call(
         functools.partial(_kernel, frame_sizes, n_top, q_levels,
-                          deterministic, cond_rate, rnn_type, use_ring),
+                          deterministic, cond_rate, rnn_type, use_ring,
+                          fused_embed),
         out_shape=(
             jax.ShapeDtypeStruct((n_top, b, lookback), jnp.int32),
             *(jax.ShapeDtypeStruct((n_state, b, hdim), jnp.float32)

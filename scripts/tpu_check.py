@@ -82,35 +82,71 @@ def main():
     assert mega_s.std() > 10, "megakernel sampling collapsed"
 
     # --- 3-tier LSTM megakernel (config 2 shape) ---
+    # f32: greedy megakernel must match the XLA scan EXACTLY on hardware
+    # (any mismatch is a kernel bug, not numerics)
+    cfg3f = SampleRNNConfig(frame_sizes=(16, 4, 4), dim=128, embed_dim=32,
+                            rnn_type="lstm", compute_dtype="float32")
+    p3f = samplernn.init_params(jax.random.PRNGKey(1), cfg3f)
+    t3 = cfg3f.lookback * 3
+    ref3 = np.asarray(gen.generate_levels(p3f, cfg3f, 4, t3, None,
+                                          use_pallas=False))
+    got3 = np.asarray(gen.generate_levels(p3f, cfg3f, 4, t3, None,
+                                          use_pallas="full"))
+    agree3 = (ref3 == got3).mean()
+    print(f"3-tier LSTM mega vs xla agreement (f32): {agree3:.4f}")
+    assert agree3 == 1.0, agree3
+    # bf16: one near-tie argmax flip decorrelates the AR streams (same
+    # class as the conditioned caveat below), so exact agreement is the
+    # wrong check — instead rescore: every generated sample must be the
+    # argmax of the teacher-forced logits over its own history
     cfg3 = SampleRNNConfig(frame_sizes=(16, 4, 4), dim=128, embed_dim=32,
                            rnn_type="lstm", compute_dtype="bfloat16")
     p3 = samplernn.init_params(jax.random.PRNGKey(1), cfg3)
-    t3 = cfg3.lookback * 3
-    ref3 = np.asarray(gen.generate_levels(p3, cfg3, 4, t3, None,
-                                          use_pallas=False))
-    got3 = np.asarray(gen.generate_levels(p3, cfg3, 4, t3, None,
-                                          use_pallas="full"))
-    agree3 = (ref3 == got3).mean()
-    print(f"3-tier LSTM mega vs xla agreement: {agree3:.4f}")
-    assert agree3 > 0.99, agree3
+    got3b = np.asarray(gen.generate_levels(p3, cfg3, 4, t3, None,
+                                           use_pallas="full"))
+    inputs3 = jnp.concatenate(
+        [jnp.full((4, cfg3.lookback), quantize_zero(cfg3.q_levels),
+                  jnp.int32), jnp.asarray(got3b)], axis=1)
+    logits3, _ = samplernn.forward(
+        p3, cfg3, inputs3, samplernn.initial_state(p3, cfg3, 4))
+    self3 = (np.asarray(jnp.argmax(logits3, axis=-1)) == got3b).mean()
+    print(f"3-tier LSTM bf16 self-consistency: {self3:.4f}")
+    assert self3 > 0.97, self3
 
     # --- conditioned megakernel (config 4 shape) ---
-    cfg4 = SampleRNNConfig(frame_sizes=(16, 4), dim=128, embed_dim=32,
-                           cond_dim=32, cond_rate=160,
-                           compute_dtype="bfloat16")
-    p4 = samplernn.init_params(jax.random.PRNGKey(2), cfg4)
-    t4 = cfg4.lookback * 16
-    cond = jax.random.normal(jax.random.PRNGKey(3),
-                             (4, -(-t4 // 160), 32))
-    ref4 = np.asarray(gen.generate_levels(p4, cfg4, 4, t4, None,
-                                          cond=cond, use_pallas=False))
-    got4 = np.asarray(gen.generate_levels(p4, cfg4, 4, t4, None,
-                                          cond=cond, use_pallas="full"))
-    agree4 = (ref4 == got4).mean()
-    print(f"conditioned mega vs xla agreement: {agree4:.4f}")
-    # bf16 float noise from the one-shot cond projection can flip rare
-    # argmaxes and decorrelate AR streams; require high-but-not-exact
-    assert agree4 > 0.8, agree4
+    # f32 greedy must match the XLA scan exactly; bf16 is checked by
+    # rescoring (the one-shot bf16 cond projection flips near-tie
+    # argmaxes and AR streams decorrelate — generate_levels docstring)
+    t4 = 0
+    for dt, exact in (("float32", True), ("bfloat16", False)):
+        cfg4 = SampleRNNConfig(frame_sizes=(16, 4), dim=128, embed_dim=32,
+                               cond_dim=32, cond_rate=160,
+                               compute_dtype=dt)
+        p4 = samplernn.init_params(jax.random.PRNGKey(2), cfg4)
+        t4 = cfg4.lookback * 16
+        cond = jax.random.normal(jax.random.PRNGKey(3),
+                                 (4, -(-t4 // 160), 32))
+        got4 = np.asarray(gen.generate_levels(p4, cfg4, 4, t4, None,
+                                              cond=cond,
+                                              use_pallas="full"))
+        if exact:
+            ref4 = np.asarray(gen.generate_levels(
+                p4, cfg4, 4, t4, None, cond=cond, use_pallas=False))
+            agree4 = (ref4 == got4).mean()
+            print(f"conditioned mega vs xla agreement (f32): {agree4:.4f}")
+            assert agree4 == 1.0, agree4
+        else:
+            inputs4 = jnp.concatenate(
+                [jnp.full((4, cfg4.lookback),
+                          quantize_zero(cfg4.q_levels), jnp.int32),
+                 jnp.asarray(got4)], axis=1)
+            logits4, _ = samplernn.forward(
+                p4, cfg4, inputs4,
+                samplernn.initial_state(p4, cfg4, 4), cond=cond)
+            self4 = (np.asarray(jnp.argmax(logits4, axis=-1))
+                     == got4).mean()
+            print(f"conditioned bf16 self-consistency: {self4:.4f}")
+            assert self4 > 0.97, self4
     print("TPU check OK")
 
 
