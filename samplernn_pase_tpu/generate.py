@@ -144,18 +144,27 @@ def _megakernel_weight_bytes(cfg):
     total = q * e + cfg.frame_sizes[0] * max(e, q) * h + h * h + h * q
     for k, f in enumerate(cfg.frame_sizes):
         total += (cfg.tier_spans[k] * h          # input proj
-                  + 2 * gates * h * h            # w_ih + w_hh
+                  + cfg.n_rnn * 2 * gates * h * h  # w_ih + w_hh per layer
                   + h * f * h)                   # upsample
     return 2 * total
 
 
-def _full_kernel_eligible(cfg, cond, use_pallas, temperature):
+def _kernel_scratch_bytes(cfg, n_seqs: int) -> int:
+    """VMEM scratch the megakernel allocates besides the weights."""
+    f1 = cfg.frame_sizes[0]
+    slot = max(cfg.embed_dim, cfg.q_levels)
+    return (n_seqs * f1 * cfg.dim * 4            # hoisted cond rows
+            + f1 * n_seqs * cfg.q_levels * 4     # per-frame gumbel
+            + n_seqs * 2 * f1 * slot * 2)        # one-hot/embed ring
+
+
+def _full_kernel_eligible(cfg, cond, use_pallas, temperature, n_seqs):
     """Route to the whole-generation megakernel (ops/pallas/megagen.py)?"""
     if cfg.cond_dim and cond is None:
         return False  # conditioned model without a stream: fallback
     if cond is not None and not (cfg.cond_dim and cfg.cond_rate):
         return False
-    if cfg.n_tiers not in (2, 3) or cfg.n_rnn != 1:
+    if cfg.n_tiers not in (2, 3):
         return False
     if cfg.frame_sizes[0] < 2:
         return False  # pipelined window split needs >= 2 slots
@@ -163,8 +172,10 @@ def _full_kernel_eligible(cfg, cond, use_pallas, temperature):
     # 128-aligned offsets (interpret mode does not enforce tiling)
     if cfg.dim % 128 != 0 and use_pallas != "interpret":
         return False
-    # all weights must fit resident in VMEM (v5e-class: ~128 MB)
-    if _megakernel_weight_bytes(cfg) > 100 * 1024 * 1024:
+    # weights + scratch + at least one output frame must fit resident
+    # in VMEM (v5e-class: ~128 MiB, minus compiler working space)
+    if (_megakernel_weight_bytes(cfg) + _kernel_scratch_bytes(cfg, n_seqs)
+            + n_seqs * cfg.lookback * 4) > 112 * 1024 * 1024:
         return False
     if use_pallas == "frame":
         return False   # explicit per-frame kernel path
@@ -188,10 +199,10 @@ def _generate_full(params, cfg, n_seqs, length, temperature, key, hist,
 
     lookback = cfg.lookback
     n_top = -(-length // lookback)
-    states = (initial_states if initial_states is not None
-              else samplernn.initial_state(params, cfg, n_seqs))
-    # per-tier state [n_state, B, H]: drop the n_rnn=1 leading axis
-    kstates = tuple(s[0] for s in states)
+    # model-layout per-tier states ([n_rnn, B, H] / [n_rnn, 2, B, H])
+    # pass straight through; the kernel stacks n_rnn cells per tier
+    kstates = tuple(initial_states if initial_states is not None
+                    else samplernn.initial_state(params, cfg, n_seqs))
     window = (hist if hist is not None
               else jnp.full((n_seqs, lookback),
                             quantize_zero(cfg.q_levels), jnp.int32))
@@ -205,7 +216,17 @@ def _generate_full(params, cfg, n_seqs, length, temperature, key, hist,
             return jnp.moveaxis(e, 0, 1)          # [n_rows, B, H]
 
         ext_all = tuple(proj(t) for t in params["tiers"])
-    chunk_top = max(1, min(n_top, (8 << 20) // (n_seqs * lookback * 4)))
+    # VMEM accounting: resident weights + scratch (hoisted cond rows,
+    # gumbel, one-hot ring) + the [n_top, B, lookback] output buffer
+    # must fit the ~128 MiB VMEM; big models (n_rnn >= 2 at dim 1024)
+    # leave little room, so the chunk length adapts instead of a fixed
+    # 8 MiB output budget
+    out_budget = min(
+        8 << 20,
+        (112 << 20) - _megakernel_weight_bytes(cfg)
+        - _kernel_scratch_bytes(cfg, n_seqs))
+    chunk_top = max(1, min(n_top,
+                           int(out_budget) // (n_seqs * lookback * 4)))
     if ext_all is not None:
         # conditioned chunks are bounded by the VMEM-resident cond
         # streams (f32 [rows, B, H] per tier) on top of the resident
@@ -257,11 +278,8 @@ def _generate_full(params, cfg, n_seqs, length, temperature, key, hist,
     levels = blocks[0] if len(blocks) == 1 else jnp.concatenate(blocks,
                                                                 axis=1)
     if return_state:
-        # restore the model state layout [n_rnn=1, (2,)? B, H]
-        out_states = tuple(
-            s[0][None] if cfg.rnn_type == "gru" else s[None]
-            for s in kstates)
-        return levels[:, :length], out_states, window
+        # kstates are already in model layout [n_rnn, (2,)? B, H]
+        return levels[:, :length], tuple(kstates), window
     return levels[:, :length]
 
 
@@ -297,7 +315,7 @@ def generate_levels(params, cfg: SampleRNNConfig, n_seqs: int, length: int,
     if not temperature:
         temperature = None
     if use_pallas and _full_kernel_eligible(cfg, cond, use_pallas,
-                                            temperature):
+                                            temperature, n_seqs):
         return _generate_full(params, cfg, n_seqs, length, temperature,
                               key, hist, initial_states,
                               interpret=use_pallas == "interpret",

@@ -37,7 +37,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from samplernn_pase_tpu.ops.weight_norm import resolve as _wn
 
-_TIER_REFS = 8  # wf, bf, wih, bih, whh, bhh, wup, bup per tier
+
+def _tier_ref_count(n_rnn: int) -> int:
+    # wf, bf, [wih, bih, whh, bhh] x n_rnn, wup, bup per tier
+    return 4 + 4 * n_rnn
 
 
 def _embed_col(levels_col, embed, n_levels):
@@ -78,7 +81,8 @@ def _onehot_col(levels_col, n_levels, dtype):
 
 
 def _kernel(frame_sizes, n_top, q_levels, deterministic, cond_rate,
-            rnn_type, use_ring, fused_embed, seed_ref, temp_ref, *refs):
+            rnn_type, n_rnn, use_ring, fused_embed, seed_ref, temp_ref,
+            *refs):
     # VMEM scratch (tail of the ref list): per-frame hoisted cond rows,
     # per-frame gumbel noise, and (ring mode) the embedded window
     if use_ring:
@@ -86,6 +90,7 @@ def _kernel(frame_sizes, n_top, q_levels, deterministic, cond_rate,
     else:
         *refs, cond_sc_ref, gum_sc_ref = refs
     k_tiers = len(frame_sizes)
+    n_states = k_tiers * n_rnn      # one state ref per (tier, layer)
     spans = []
     acc = 1
     for f in frame_sizes:
@@ -98,19 +103,23 @@ def _kernel(frame_sizes, n_top, q_levels, deterministic, cond_rate,
         ext_refs = refs[1:1 + k_tiers]
         refs = refs[1 + k_tiers:]
     win_ref = refs[0]
-    h_refs = refs[1:1 + k_tiers]
-    refs = refs[1 + k_tiers:]
-    tier_refs = [refs[i * _TIER_REFS:(i + 1) * _TIER_REFS]
-                 for i in range(k_tiers)]
-    refs = refs[k_tiers * _TIER_REFS:]
+    # h_refs[k][i] = tier k, rnn layer i
+    flat_h = refs[1:1 + n_states]
+    h_refs = [flat_h[k * n_rnn:(k + 1) * n_rnn] for k in range(k_tiers)]
+    refs = refs[1 + n_states:]
+    trc = _tier_ref_count(n_rnn)
+    tier_refs = [refs[i * trc:(i + 1) * trc] for i in range(k_tiers)]
+    refs = refs[k_tiers * trc:]
     (embed_ref, wmi_ref, bmi_ref, wmh_ref, bmh_ref, wmo_ref,
      bmo_ref) = refs[:7]
     out_ref = refs[7]
-    hout_refs = refs[8:8 + k_tiers]
+    flat_hout = refs[8:8 + n_states]
+    hout_refs = [flat_hout[k * n_rnn:(k + 1) * n_rnn]
+                 for k in range(k_tiers)]
 
     b = win_ref.shape[0]
     e = embed_ref.shape[1]
-    hdim = h_refs[0].shape[-1]
+    hdim = h_refs[0][0].shape[-1]
     f1 = frame_sizes[0]
     temp = temp_ref[0]
     q_half = jnp.float32(q_levels / 2.0)
@@ -132,14 +141,26 @@ def _kernel(frame_sizes, n_top, q_levels, deterministic, cond_rate,
             x = x + ext_refs[k][row]
         return x
 
-    def tier_cell(k, x, state):
-        _, _, wih, bih, whh, bhh, _, _ = tier_refs[k]
-        return _cell(rnn_type, x, state, wih[:], bih[:], whh[:], bhh[:],
-                     hdim)
+    def tier_cell(k, x, states):
+        """Static stack of n_rnn cells: layer i feeds layer i+1's input
+        (SURVEY.md §2 C4 `n_rnn`). states: list of [n_state, B, H]."""
+        new_states = []
+        h = x
+        for i in range(n_rnn):
+            wih, bih, whh, bhh = tier_refs[k][2 + 4 * i: 6 + 4 * i]
+            new = _cell(rnn_type, h, states[i], wih[:], bih[:], whh[:],
+                        bhh[:], hdim)
+            h = new[0]
+            new_states.append(new)
+        return tuple(new_states)   # tuple: stable pytree across fori_loop
 
-    def up_row(k, state, j):
-        wup, bup = tier_refs[k][6], tier_refs[k][7]
-        h_bf = state[0].astype(wup.dtype)
+    def _up_refs(k):
+        base = 2 + 4 * n_rnn
+        return tier_refs[k][base], tier_refs[k][base + 1]
+
+    def up_row(k, states, j):
+        wup, bup = _up_refs(k)
+        h_bf = states[-1][0].astype(wup.dtype)   # last rnn layer's h
         return jnp.dot(h_bf, wup[:, pl.ds(j * hdim, hdim)],
                        preferred_element_type=jnp.float32) \
             + bup[pl.ds(j, 1), :]
@@ -185,7 +206,7 @@ def _kernel(frame_sizes, n_top, q_levels, deterministic, cond_rate,
             head = emb_win[:, sw:]
         partial_next = jnp.dot(head, wmi_ref[pl.ds(0, head_rows), :],
                                preferred_element_type=jnp.float32)
-        bup0 = tier_refs[0][7]
+        bup0 = _up_refs(0)[1]
         cond_i = cond_sc_ref[:, pl.ds(i * hdim, hdim)] \
             + bup0[pl.ds(i, 1), :]
         xm = (partial
@@ -229,8 +250,9 @@ def _kernel(frame_sizes, n_top, q_levels, deterministic, cond_rate,
             # scratch (per-row bias added at use — a (f1,H)->(1,f1*H)
             # reshape would be a cross-tile shape cast Mosaic rejects);
             # likewise one PRNG call per frame for the gumbel noise
-            wup = tier_refs[0][6]
-            h_bf = ctx["h"][0][0].astype(wup.dtype)
+            wup = _up_refs(0)[0]
+            # upsample reads the LAST rnn layer's h (stacked-cell output)
+            h_bf = ctx["h"][0][-1][0].astype(wup.dtype)
             cond_sc_ref[:] = jnp.dot(h_bf, wup[:],
                                      preferred_element_type=jnp.float32)
             if not deterministic:
@@ -289,10 +311,11 @@ def _kernel(frame_sizes, n_top, q_levels, deterministic, cond_rate,
     partial0 = jnp.dot(head0, wmi_ref[pl.ds(0, head_rows), :],
                        preferred_element_type=jnp.float32)
     init = (partial0, prev_emb0, emb_win0, win_ref[:],
-            tuple(h[:] for h in h_refs))
+            tuple(tuple(h[:] for h in tier) for tier in h_refs))
     _, _, _, _, h_fin = jax.lax.fori_loop(0, n_top, top_body, init)
     for k in range(k_tiers):
-        hout_refs[k][:] = h_fin[k]
+        for i in range(n_rnn):
+            hout_refs[k][i][:] = h_fin[k][i]
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -305,18 +328,21 @@ def generate_full_pallas(window, states, temperature, seed, tiers, mlp, *,
                          ext_proj=None, cond_offsets=None,
                          rnn_type: str = "gru",
                          weights_dtype: str = "bfloat16"):
-    """Run the full generation megakernel (K tiers, GRU or LSTM, n_rnn=1).
+    """Run the full generation megakernel (K tiers, GRU or LSTM, any
+    static n_rnn — stacked layers per tier run as a static cell stack).
 
     window [B, lookback] int32 seed context; states = tuple of per-tier
-    [n_state, B, H] f32 (n_state 1 for gru, 2 for lstm); tiers = list of
-    tier param dicts bottom->top.  Returns (samples [n_top, B, lookback]
-    int32, final_states tuple) so long generations are chunked without
-    blowing the VMEM output buffer.
+    MODEL-layout states: [n_rnn, B, H] f32 for gru, [n_rnn, 2, B, H]
+    for lstm; tiers = list of tier param dicts bottom->top.  Returns
+    (samples [n_top, B, lookback] int32, final_states tuple in the same
+    model layout) so long generations are chunked without blowing the
+    VMEM output buffer.
     """
     b, lookback = window.shape
     hdim = states[0].shape[-1]
     n_state = 1 if rnn_type == "gru" else 2
     gates = n_state + 2
+    n_rnn = len(tiers[0]["rnn"])
     frame_sizes = tuple(t["b_up"].shape[0] for t in tiers)
     acc = 1
     for f in frame_sizes:
@@ -325,15 +351,22 @@ def generate_full_pallas(window, states, temperature, seed, tiers, mlp, *,
     wt = jnp.dtype(weights_dtype)
 
     def prep(t):
-        r = t["rnn"][0]
-        return (_wn(t["w_in"]).astype(wt),
-                t["b_in"].astype(jnp.float32).reshape(1, hdim),
-                r["w_ih"].astype(wt),
-                r["b_ih"].astype(jnp.float32).reshape(1, gates * hdim),
-                r["w_hh"].astype(wt),
-                r["b_hh"].astype(jnp.float32).reshape(1, gates * hdim),
-                _wn(t["w_up"]).astype(wt),
-                t["b_up"].astype(jnp.float32))
+        out = (_wn(t["w_in"]).astype(wt),
+               t["b_in"].astype(jnp.float32).reshape(1, hdim))
+        for r in t["rnn"]:
+            out += (r["w_ih"].astype(wt),
+                    r["b_ih"].astype(jnp.float32).reshape(1, gates * hdim),
+                    r["w_hh"].astype(wt),
+                    r["b_hh"].astype(jnp.float32).reshape(1, gates * hdim))
+        return out + (_wn(t["w_up"]).astype(wt),
+                      t["b_up"].astype(jnp.float32))
+
+    # one kernel state ref per (tier, layer), [n_state, B, H]
+    flat_states = []
+    for s in states:
+        for i in range(n_rnn):
+            flat_states.append(
+                s[i].astype(jnp.float32).reshape(n_state, b, hdim))
 
     cond_args = ()
     if cond_rate:
@@ -366,8 +399,7 @@ def generate_full_pallas(window, states, temperature, seed, tiers, mlp, *,
         jnp.asarray(temperature, jnp.float32).reshape(1),
         *cond_args,
         window.astype(jnp.int32),
-        *(s.astype(jnp.float32).reshape(n_state, b, hdim)
-          for s in states),
+        *flat_states,
         *tier_args,
         mlp["embed"].astype(wt),
         w_in_arg,
@@ -392,18 +424,27 @@ def generate_full_pallas(window, states, temperature, seed, tiers, mlp, *,
         scratch.append(pltpu.VMEM((b, 2 * f1 * slot_w), wt))
     outs = pl.pallas_call(
         functools.partial(_kernel, frame_sizes, n_top, q_levels,
-                          deterministic, cond_rate, rnn_type, use_ring,
-                          fused_embed),
+                          deterministic, cond_rate, rnn_type, n_rnn,
+                          use_ring, fused_embed),
         out_shape=(
             jax.ShapeDtypeStruct((n_top, b, lookback), jnp.int32),
             *(jax.ShapeDtypeStruct((n_state, b, hdim), jnp.float32)
-              for _ in range(k)),
+              for _ in range(k * n_rnn)),
         ),
         in_specs=[smem] * n_smem + [vmem] * (len(args) - n_smem),
-        out_specs=(vmem,) * (1 + k),
+        out_specs=(vmem,) * (1 + k * n_rnn),
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
         interpret=interpret,
     )(*args)
-    return outs[0], tuple(outs[1:])
+    # reassemble model-layout per-tier states: gru [n_rnn, B, H],
+    # lstm [n_rnn, 2, B, H]
+    final = []
+    for kk in range(k):
+        layers = outs[1 + kk * n_rnn: 1 + (kk + 1) * n_rnn]
+        if rnn_type == "gru":
+            final.append(jnp.stack([l[0] for l in layers]))
+        else:
+            final.append(jnp.stack(list(layers)))
+    return outs[0], tuple(final)
