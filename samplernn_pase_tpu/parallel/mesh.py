@@ -35,6 +35,11 @@ def batch_sharding(mesh: Mesh, ndim: int = 2) -> NamedSharding:
     return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
 
 
+def staged_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
+    """[K, B, ...] staged multi-step batches: batch is axis 1."""
+    return NamedSharding(mesh, P(None, "data", *([None] * (ndim - 2))))
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

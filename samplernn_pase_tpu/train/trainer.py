@@ -55,6 +55,48 @@ def make_train_step(cfg: SampleRNNConfig, tx: optax.GradientTransformation):
     return jax.jit(step, donate_argnums=(0, 1, 2))
 
 
+def make_multi_train_step(cfg: SampleRNNConfig,
+                          tx: optax.GradientTransformation):
+    """K TBPTT steps in ONE device dispatch (TrainConfig.steps_per_call).
+
+    Batches are staged as [K, B, ...] arrays and consumed by an in-jit
+    ``lax.scan``; per-lane reset masking happens per sub-step exactly as
+    in the single-step path, and per-step NLLs come back as a [K] array
+    for logging. One dispatch + one host sync per K steps instead of K —
+    on a tunnel-attached host that removes ~30 ms per step of overhead;
+    gradient/optimizer math is IDENTICAL to K single steps.
+    """
+
+    def multi(params, opt_state, hiddens, xs, ys, rs, cond=None,
+              speakers=None):
+        def one(carry, batch):
+            params, opt_state, hiddens = carry
+            x, y, r = batch[:3]
+            c = batch[3] if cond is not None else None
+            s = batch[-1] if speakers is not None else None
+            hiddens = samplernn.reset_state(params, cfg, hiddens, r)
+
+            def loss(p):
+                return samplernn.loss_fn(p, cfg, x, y, hiddens, c, s)
+
+            (nll, new_h), grads = jax.value_and_grad(
+                loss, has_aux=True)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state, new_h), nll
+
+        batches = [xs, ys, rs]
+        if cond is not None:
+            batches.append(cond)
+        if speakers is not None:
+            batches.append(speakers)
+        (params, opt_state, hiddens), nlls = jax.lax.scan(
+            one, (params, opt_state, hiddens), tuple(batches))
+        return params, opt_state, hiddens, nlls
+
+    return jax.jit(multi, donate_argnums=(0, 1, 2))
+
+
 def make_eval_step(cfg: SampleRNNConfig):
     def step(params, hiddens, inputs, targets, resets, cond=None,
              speakers=None):
@@ -227,6 +269,8 @@ class Trainer:
         self.hiddens = samplernn.initial_state(
             self.params, model_cfg, train_cfg.batch_size)
         self._train_step = make_train_step(model_cfg, self.tx)
+        self._multi_step = (make_multi_train_step(model_cfg, self.tx)
+                            if train_cfg.steps_per_call > 1 else None)
         self._eval_step = make_eval_step(model_cfg)
         self.global_step = 0
         self.epoch = 0
@@ -264,6 +308,15 @@ class Trainer:
             jax.device_put(a, pm.batch_sharding(self.mesh, np.ndim(a)))
             for a in arrays)
 
+    def _put_staged(self, *arrays):
+        """[K, B, ...] staged batches: shard the batch axis (axis 1)."""
+        if self.mesh is None:
+            return tuple(jnp.asarray(a) for a in arrays)
+        from samplernn_pase_tpu.parallel import mesh as pm
+        return tuple(
+            jax.device_put(a, pm.staged_sharding(self.mesh, np.ndim(a)))
+            for a in arrays)
+
     @staticmethod
     def _split_batch(item):
         if isinstance(item, tuple) and len(item) == 2:
@@ -289,8 +342,10 @@ class Trainer:
                              * self.train_cfg.seq_len)
         skip_until = self._resume_batch_idx   # -1 unless resuming
         self._resume_batch_idx = -1
+        k_call = max(1, self.train_cfg.steps_per_call)
         for epoch in range(self.epoch, epochs):
             self.epoch = epoch
+            group: list = []
             for i, item in enumerate(self._batcher("train")):
                 if i <= skip_until:
                     # exact mid-epoch resume: the checkpoint carries the
@@ -298,40 +353,73 @@ class Trainer:
                     # fast-forward past already-trained chunks (including
                     # chunk 0 — the cursor is the last *trained* index)
                     continue
-                self.batch_idx = i
-                chunk, cond = self._split_batch(item)
-                args = self._put(chunk.inputs, chunk.targets,
-                                 chunk.resets.astype(np.float32))
-                kwargs = self._cond_kwargs(chunk, cond)
-                t0 = time.time()
-                (self.params, self.opt_state, self.hiddens,
-                 nll) = self._train_step(
-                    self.params, self.opt_state, self.hiddens, *args,
-                    **kwargs)
-                nll = float(nll)
-                dt = time.time() - t0
-                # profiling hook (SURVEY.md §5): trace steps 10-12 once
-                if self.train_cfg.profile_dir:
-                    if self.global_step == 10:
-                        jax.profiler.start_trace(
-                            self.train_cfg.profile_dir)
-                    elif self.global_step == 12:
-                        jax.profiler.stop_trace()
-                metrics = {
-                    "nll_bits": nll,
-                    "samples_per_sec": samples_per_chunk / dt,
-                    "frames_per_sec": (samples_per_chunk
-                                       / self.model_cfg.frame_sizes[0] / dt),
-                }
-                for p in self.plugins:
-                    p.on_step(self, self.global_step, metrics)
-                self.global_step += 1
+                group.append((i, item))
+                if len(group) == k_call:
+                    self._run_group(group, samples_per_chunk)
+                    group = []
+            if group:
+                self._run_group(group, samples_per_chunk)
             skip_until = -1
             for p in self.plugins:
                 p.on_epoch_end(self, epoch)
         for p in self.plugins:
             p.on_train_end(self)
         return self
+
+    def _run_group(self, group, samples_per_chunk):
+        """Train a group of consecutive chunks: one device dispatch via
+        the in-jit K-step scan when the group has >1 item, else the
+        single-step path. Plugin hooks fire once per sub-step with that
+        step's NLL; the data cursor (batch_idx) is pinned to the LAST
+        index of the group so a checkpoint taken mid-group never causes
+        chunks already folded into the saved params to be retrained."""
+        t0 = time.time()
+        self.batch_idx = group[-1][0]
+        if len(group) == 1:
+            chunk, cond = self._split_batch(group[0][1])
+            args = self._put(chunk.inputs, chunk.targets,
+                             chunk.resets.astype(np.float32))
+            kwargs = self._cond_kwargs(chunk, cond)
+            (self.params, self.opt_state, self.hiddens,
+             nll) = self._train_step(
+                self.params, self.opt_state, self.hiddens, *args,
+                **kwargs)
+            nlls = [float(nll)]
+        else:
+            chunks, conds = zip(*(self._split_batch(it) for _, it in group))
+            xs, ys, rs = self._put_staged(
+                np.stack([c.inputs for c in chunks]),
+                np.stack([c.targets for c in chunks]),
+                np.stack([c.resets for c in chunks]).astype(np.float32))
+            kwargs = {}
+            if conds[0] is not None:
+                kwargs["cond"] = self._put_staged(np.stack(conds))[0]
+            if (self.model_cfg.n_speakers
+                    and chunks[0].speakers is not None):
+                kwargs["speakers"] = self._put_staged(
+                    np.stack([c.speakers for c in chunks]))[0]
+            (self.params, self.opt_state, self.hiddens,
+             nll_arr) = self._multi_step(
+                self.params, self.opt_state, self.hiddens, xs, ys, rs,
+                **kwargs)
+            nlls = [float(v) for v in np.asarray(nll_arr)]
+        dt = (time.time() - t0) / len(group)
+        # profiling hook (SURVEY.md §5): trace steps 10-12 once
+        if self.train_cfg.profile_dir:
+            if self.global_step <= 10 < self.global_step + len(group):
+                jax.profiler.start_trace(self.train_cfg.profile_dir)
+            if self.global_step <= 12 < self.global_step + len(group):
+                jax.profiler.stop_trace()
+        for nll in nlls:
+            metrics = {
+                "nll_bits": nll,
+                "samples_per_sec": samples_per_chunk / dt,
+                "frames_per_sec": (samples_per_chunk
+                                   / self.model_cfg.frame_sizes[0] / dt),
+            }
+            for p in self.plugins:
+                p.on_step(self, self.global_step, metrics)
+            self.global_step += 1
 
     def validate(self) -> float:
         hiddens = samplernn.initial_state(
