@@ -88,6 +88,17 @@ def reset_state(params: Params, cfg: SampleRNNConfig, state: State,
     return tuple(out)
 
 
+def _prnn_vmem_fits(n_frames: int, batch: int, h: int) -> bool:
+    """Whole-sequence Pallas GRU VMEM estimate (the backward kernel is
+    the binding one): x/h_seq/dh/dx residuals [N,B,H] bf16 + weight
+    matrices, their transposes, and f32 dW accumulators — all resident.
+    Shapes past this bound (e.g. B=128 x 128 frames at H=1024) must use
+    the XLA scan instead of failing to compile."""
+    seq = 4 * n_frames * batch * h * 2
+    w = 4 * h * 3 * h * 2 + 2 * h * 3 * h * 4
+    return seq + w < 126 * 1024 * 1024
+
+
 def cond_index(n_frames: int, span: int, cond_rate: int):
     """Frame j of a tier with step `span` reads cond frame (j*span)//rate."""
     return (jnp.arange(n_frames) * span) // cond_rate
@@ -143,7 +154,9 @@ def forward(params: Params, cfg: SampleRNNConfig, inputs, state: State,
         enabled = (flag is True or
                    (flag == "auto" and jax.default_backend() == "tpu"))
         use_prnn = (enabled and cfg.rnn_type == "gru"
-                    and cfg.dim % 128 == 0)
+                    and cfg.dim % 128 == 0
+                    and _prnn_vmem_fits(n_frames, inputs.shape[0],
+                                        cfg.dim))
 
         def apply_fn(p, fr, up, ex, st, _fs=cfg.frame_sizes[k]):
             return frame_rnn.tier_apply(
