@@ -72,6 +72,36 @@ def test_cli_resume(wav_dir, tmp_path):
     cli.main(args + ["--resume"])  # must restore without error
 
 
+def test_cli_tts_pipeline_extract_train_generate(wav_dir, tmp_path):
+    """The reference's full cached-embedding TTS workflow as one CLI
+    chain (SURVEY.md §3): extract PASE embeddings -> train conditioned
+    on the cached embeddings (--cond-dir) -> generate with --cond."""
+    from samplernn_pase_tpu import cli
+    emb = tmp_path / "emb"
+    cli.main(["extract", "--dataset", str(wav_dir), "--out", str(emb),
+              "--batch_size", "2"])
+
+    exp = tmp_path / "exp_tts"
+    cli.main([
+        "train", "--dataset", str(wav_dir), "--exp-dir", str(exp),
+        "--cond-dir", str(emb),
+        "--frame_sizes", "4", "2", "--dim", "16", "--embed_dim", "8",
+        "--cond_dim", "256", "--cond_rate", "160",
+        "--batch_size", "2", "--seq_len", "320", "--epochs", "1",
+    ])
+    cfgj = json.loads((exp / "config.json").read_text())
+    assert cfgj["model"]["cond_dim"] == 256
+
+    out = tmp_path / "gen_tts"
+    cli.main(["generate", "--ckpt", str(exp), "--out", str(out),
+              "--n_seqs", "2", "--length", "320", "--temperature", "0.9",
+              "--cond", str(sorted(emb.glob('*.npy'))[0])])
+    wavs = sorted(out.glob("*.wav"))
+    assert len(wavs) == 2
+    y, sr = read_wav(wavs[0])
+    assert len(y) == 320 and np.isfinite(y).all()
+
+
 def test_cli_train_joint(wav_dir, tmp_path):
     """--joint: end-to-end PASE+SampleRNN from the CLI (config 4)."""
     import json
