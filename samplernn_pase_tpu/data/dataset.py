@@ -46,7 +46,8 @@ class WavCorpus:
                  val_frac: float = 0.1,
                  conditioning: Sequence[np.ndarray] | None = None,
                  speakers: Sequence[int] | None = None,
-                 test_frac: float = 0.0):
+                 test_frac: float = 0.0,
+                 split_keys: Sequence[str] | None = None):
         self.q_levels = q_levels
         self.sample_rate = sample_rate
         self.utterances = [np.asarray(u, np.int32) for u in utterances]
@@ -54,12 +55,17 @@ class WavCorpus:
             f"utt{i:05d}" for i in range(len(utterances))]
         self.conditioning = conditioning
         self.speakers = list(speakers) if speakers is not None else None
-        # deterministic train/val/test split by name hash (stable across
-        # runs/machines; C3's three-way corpus split)
+        # deterministic train/val/test split by key hash (stable across
+        # runs/machines; C3's three-way corpus split). split_keys lets
+        # from_folder hash the bare file stem even though names are
+        # relative paths, so an utterance's split does not depend on
+        # the folder layout (flat vs speaker/utt.wav)
+        split_keys = (list(split_keys) if split_keys is not None
+                      else self.names)
         self.val_idx, self.test_idx, self.train_idx = [], [], []
         v_cut = val_frac * 1000
         t_cut = v_cut + test_frac * 1000
-        for i, n in enumerate(self.names):
+        for i, n in enumerate(split_keys):
             h = int(hashlib.md5(n.encode()).hexdigest(), 16) % 1000
             if h < v_cut:
                 self.val_idx.append(i)
@@ -104,9 +110,11 @@ class WavCorpus:
         dir_names = sorted({f.parent.name for f in files})
         spk_of = {d: i for i, d in enumerate(dir_names)}
         speakers = []
+        split_keys = []
         for f in files:
             if use_native:
                 lv, sr = native_loader.load_quantized(f, q_levels)
+                x = None
             else:
                 x, sr = read_wav(f)
                 lv = None
@@ -117,7 +125,8 @@ class WavCorpus:
                     raise ValueError(
                         f"{f}: sample rate {sr} != corpus rate "
                         f"{target_rate} and resample=False")
-                x, _ = read_wav(f)   # mismatch: need the float waveform
+                if x is None:   # native path skipped the float decode
+                    x, _ = read_wav(f)
                 x = _resample(x, sr, target_rate)
                 lv = _quantize_host(x, q_levels, codec)
             elif lv is None:
@@ -125,6 +134,7 @@ class WavCorpus:
             rel = f.relative_to(root).with_suffix("")
             utts.append(lv)
             names.append(rel.as_posix())
+            split_keys.append(f.stem)   # split independent of layout
             speakers.append(spk_of[f.parent.name])
             if cond_dir is not None:
                 cand = Path(cond_dir) / rel.parent / f"{f.stem}.npy"
@@ -133,7 +143,7 @@ class WavCorpus:
                 conds.append(np.load(cand))
         return cls(utts, q_levels, target_rate or 16_000, names, val_frac,
                    conds if cond_dir is not None else None,
-                   speakers=speakers)
+                   speakers=speakers, split_keys=split_keys)
 
     @property
     def has_val(self) -> bool:

@@ -153,10 +153,16 @@ def forward(params: Params, cfg: SampleRNNConfig, inputs, state: State,
         flag = cfg.pallas_train_rnn
         enabled = (flag is True or
                    (flag == "auto" and jax.default_backend() == "tpu"))
-        use_prnn = (enabled and cfg.rnn_type == "gru"
-                    and cfg.dim % 128 == 0
-                    and _prnn_vmem_fits(n_frames, inputs.shape[0],
-                                        cfg.dim))
+        eligible = enabled and cfg.rnn_type == "gru" and cfg.dim % 128 == 0
+        use_prnn = eligible and _prnn_vmem_fits(
+            n_frames, inputs.shape[0], cfg.dim)
+        if eligible and not use_prnn and flag is True:
+            import warnings
+            warnings.warn(
+                f"pallas_train_rnn=True: tier with {n_frames} frames at "
+                f"dim {cfg.dim}, batch {inputs.shape[0]} exceeds the "
+                "kernel's VMEM bound; using the XLA scan for this tier",
+                stacklevel=2)
 
         def apply_fn(p, fr, up, ex, st, _fs=cfg.frame_sizes[k]):
             return frame_rnn.tier_apply(

@@ -181,7 +181,12 @@ class CheckpointPlugin(Plugin):
 
     def on_step(self, trainer, step, metrics):
         if self.every and step > 0 and step % self.every == 0:
-            self._save(trainer, step, step + 1)
+            # trainer.params reflect the END of the current dispatch
+            # group (steps_per_call), so the resume point is the group
+            # end even when the cadence fires mid-group — otherwise the
+            # tail of the group would be re-numbered onto new data
+            self._save(trainer, step,
+                       max(step + 1, trainer.resume_next_step))
 
     def on_train_end(self, trainer):
         self._save(trainer, trainer.global_step, trainer.global_step)
@@ -214,8 +219,6 @@ class GeneratorPlugin(Plugin):
     def _cond_args(self, trainer):
         cfg = trainer.model_cfg
         speakers, cond, n = self.speakers, self.cond, self.n
-        if cond is None and speakers is None and cfg.n_speakers:
-            speakers = np.arange(n, dtype=np.int32) % cfg.n_speakers
         if speakers is not None:
             n = len(speakers)
         if cond is not None:
@@ -225,6 +228,13 @@ class GeneratorPlugin(Plugin):
                 pad = np.broadcast_to(
                     cond[:, -1:], (n, need - cond.shape[1], cond.shape[2]))
                 cond = np.concatenate([cond, pad], axis=1)
+        if speakers is None and cfg.n_speakers:
+            # n_speakers models ALWAYS add the learned speaker embedding
+            # onto the conditioning during training (speaker_cond), so
+            # default ids even when a PASE cond stream is supplied —
+            # decoding without them feeds a distribution the model never
+            # saw
+            speakers = np.arange(n, dtype=np.int32) % cfg.n_speakers
         return n, speakers, cond
 
     def _generate(self, trainer, tag):
@@ -276,6 +286,10 @@ class Trainer:
         self.epoch = 0
         self.batch_idx = 0
         self._resume_batch_idx = -1   # -1 = not resuming (0 is a valid idx)
+        self.resume_next_step = 0     # step number a resume should start
+                                      # at; = end of the current dispatch
+                                      # group (see CheckpointPlugin)
+        self._trace_started = False
         self.last_val_nll = None
         # True when the corpus has no held-out split and "val" batches
         # silently reuse train data (see ValidationPlugin/CheckpointPlugin)
@@ -373,6 +387,15 @@ class Trainer:
         step's NLL; the data cursor (batch_idx) is pinned to the LAST
         index of the group so a checkpoint taken mid-group never causes
         chunks already folded into the saved params to be retrained."""
+        # profiling hook (SURVEY.md §5): trace around the dispatch that
+        # covers step 10, stop once step 12 has executed — start/stop
+        # bracket real device work even when one group spans both
+        if self.train_cfg.profile_dir:
+            if (not self._trace_started
+                    and self.global_step <= 10 < self.global_step
+                    + len(group)):
+                jax.profiler.start_trace(self.train_cfg.profile_dir)
+                self._trace_started = True
         t0 = time.time()
         self.batch_idx = group[-1][0]
         if len(group) == 1:
@@ -404,12 +427,11 @@ class Trainer:
                 **kwargs)
             nlls = [float(v) for v in np.asarray(nll_arr)]
         dt = (time.time() - t0) / len(group)
-        # profiling hook (SURVEY.md §5): trace steps 10-12 once
-        if self.train_cfg.profile_dir:
-            if self.global_step <= 10 < self.global_step + len(group):
-                jax.profiler.start_trace(self.train_cfg.profile_dir)
-            if self.global_step <= 12 < self.global_step + len(group):
-                jax.profiler.stop_trace()
+        if (self.train_cfg.profile_dir and self._trace_started
+                and self.global_step + len(group) > 12):
+            jax.profiler.stop_trace()
+            self._trace_started = False
+        self.resume_next_step = self.global_step + len(nlls)
         for nll in nlls:
             metrics = {
                 "nll_bits": nll,
@@ -452,7 +474,12 @@ class Trainer:
         if cursor is not None:
             self.epoch = int(cursor[0])
             self._resume_batch_idx = int(cursor[1])
-            self.global_step = int(cursor[2])
+            if np.size(cursor) >= 3:
+                self.global_step = int(cursor[2])
+            else:
+                # legacy 2-element cursor (pre next-step field): the
+                # saved step was trained — number the next batch after it
+                self.global_step = int(restored["step"]) + 1
         else:
             # checkpoint without a cursor: the saved step was trained —
             # number the first post-resume batch after it

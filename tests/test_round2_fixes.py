@@ -239,6 +239,79 @@ def test_streambatcher_native_gather_matches_python(monkeypatch):
         np.testing.assert_array_equal(nr, pr)
 
 
+# --------------------------------------------------- review-finding guards
+
+def test_restore_legacy_two_element_cursor(tmp_path):
+    """Checkpoints written before the next-step cursor field (2-element
+    cursor) must restore without crashing, falling back to step+1."""
+    from samplernn_pase_tpu.train.checkpoint import CheckpointManager
+
+    corpus = synthetic_corpus(n_utts=2, length=1024, seed=2)
+    tcfg = TrainConfig(batch_size=1, seq_len=256, epochs=1)
+    t = tr.Trainer(CFG, tcfg, corpus)
+    t.run()
+    mgr = CheckpointManager(tmp_path / "c")
+    mgr.save(5, t.params, t.opt_state, t.hiddens,
+             cursor=np.asarray([0, 1]))          # legacy layout
+    mgr.wait()
+    t2 = tr.Trainer(CFG, tcfg, corpus)
+    assert t2.restore(mgr)
+    assert t2.global_step == 6                   # saved step + 1
+    assert t2._resume_batch_idx == 1
+    mgr.close()
+
+
+def test_generator_plugin_speakers_with_cond(tmp_path):
+    """n_speakers models must keep the speaker embedding even when a
+    PASE cond stream is supplied (training always adds it)."""
+    cfg = SampleRNNConfig(frame_sizes=(4, 2), dim=32, rnn_type="gru",
+                          embed_dim=16, compute_dtype="float32",
+                          cond_dim=8, cond_rate=4, n_speakers=2)
+    params = samplernn.init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    length = cfg.lookback * 4
+    cond = rng.normal(size=(2, length // cfg.cond_rate,
+                            8)).astype(np.float32)
+
+    class T:
+        model_cfg = cfg
+        global_step = 3
+    T.params = params
+
+    plug = tr.GeneratorPlugin(tmp_path, every_steps=1, n_seqs=2,
+                              length=length, cond=cond)
+    n, speakers, c = plug._cond_args(T)
+    assert speakers is not None and list(speakers) == [0, 1]
+    plug._generate(T, "tag")
+    assert sorted(f.name for f in tmp_path.glob("*.wav")) == [
+        "tag_seq0_spk0.wav", "tag_seq1_spk1.wav"]
+
+
+def test_mid_group_checkpoint_resumes_at_group_end(tmp_path):
+    """steps_per_call > 1 with an unaligned checkpoint cadence: the
+    saved cursor must point at the dispatch-group END (params already
+    include the whole group), so no step number is reused on resume."""
+    from samplernn_pase_tpu.train.checkpoint import CheckpointManager
+
+    corpus = synthetic_corpus(n_utts=2, length=2048, seed=13)
+    tcfg = TrainConfig(batch_size=1, seq_len=256, epochs=1,
+                       steps_per_call=4)
+    t = tr.Trainer(CFG, tcfg, corpus)
+    mgr = CheckpointManager(tmp_path / "c", max_to_keep=16)
+    # cadence 2 fires at step 2, mid-group [0..3]
+    t.plugins.append(tr.CheckpointPlugin(mgr, every_steps=2))
+    t.run()
+    mgr.wait()
+
+    restored = mgr.restore(step=2, template={
+        "params": t.params, "opt_state": t.opt_state,
+        "hiddens": list(t.hiddens), "cursor": np.zeros(3)})
+    # the step-2 save happened after group [0..3] finished: cursor must
+    # say "chunks through 3 are trained; resume numbering at step 4"
+    assert list(np.asarray(restored["cursor"], int)) == [0, 3, 4]
+    mgr.close()
+
+
 # ------------------------------------------------------------- config guard
 
 def test_mlp_hidden_must_match_dim():
