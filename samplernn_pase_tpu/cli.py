@@ -224,12 +224,28 @@ def cmd_generate(args):
     speakers = None
     if args.speaker is not None:
         speakers = np.full((n,), args.speaker, np.int32)
+    prime_kw = {}
+    if args.seed_wav:
+        # audio continuation: warm the decoder state on a seed waveform
+        # so the generated audio carries on from it (generate.prime)
+        from samplernn_pase_tpu.data.dataset import _quantize_host
+        from samplernn_pase_tpu.ops.audio_io import read_wav, resample
+        x, sr = read_wav(args.seed_wav)
+        if sr != gcfg.sample_rate:
+            x = resample(x, sr, gcfg.sample_rate)
+        seed_lv = _quantize_host(x, exp.model.q_levels, exp.model.codec)
+        seed_lv = np.broadcast_to(seed_lv[None], (n, len(seed_lv)))
+        states, hist = gen.prime(params, exp.model, seed_lv,
+                                 speakers=speakers)
+        prime_kw = {"initial_states": states, "hist": hist}
+        print(f"[generate] primed on {len(x)} seed samples from "
+              f"{args.seed_wav}", file=sys.stderr)
     levels = gen.generate_levels(
         params, exp.model, n, length,
         flag("temperature", gcfg.temperature),
         jax.random.PRNGKey(flag("seed", gcfg.seed)),
         cond=None if cond is None else np.asarray(cond),
-        speakers=speakers)
+        speakers=speakers, **prime_kw)
     from samplernn_pase_tpu.ops.mulaw import (
         linear_dequantize, mu_law_decode)
     wav = (linear_dequantize(levels, exp.model.q_levels)
@@ -242,6 +258,60 @@ def cmd_generate(args):
                   gcfg.sample_rate)
     print(f"[generate] wrote {n} wavs to {out}", file=sys.stderr)
     mgr.close()
+
+
+def cmd_evaluate(args):
+    """Held-out NLL (bits/sample) of a checkpoint over a corpus split."""
+    import json
+
+    from samplernn_pase_tpu import config as C
+    from samplernn_pase_tpu.data.dataset import WavCorpus
+    from samplernn_pase_tpu.models import samplernn
+    from samplernn_pase_tpu.train.checkpoint import CheckpointManager
+    from samplernn_pase_tpu.train.trainer import make_eval_step
+
+    exp_dir = Path(args.ckpt)
+    exp = C.load_config(exp_dir / "config.json")
+    mgr = CheckpointManager(exp_dir / "ckpt")
+    restored = mgr.restore()
+    if restored is None:
+        sys.exit(f"no checkpoint under {exp_dir}/ckpt")
+    params = restored["params"]
+    tcfg = exp.train
+    batch_size = args.batch_size or tcfg.batch_size
+    seq_len = args.seq_len or tcfg.seq_len
+    corpus = WavCorpus.from_folder(
+        args.dataset, exp.model.q_levels, cond_dir=args.cond_dir or None,
+        codec=exp.model.codec, sample_rate=tcfg.sample_rate)
+    held_out = bool({"val": corpus.val_idx,
+                     "test": corpus.test_idx}.get(args.split))
+    step = make_eval_step(exp.model)
+    hiddens = samplernn.initial_state(params, exp.model, batch_size)
+    total, n_batches = 0.0, 0
+    for item in corpus.batcher(args.split, batch_size, seq_len,
+                               exp.model.lookback,
+                               cond_rate=exp.model.cond_rate or None):
+        if isinstance(item, tuple) and len(item) == 2:
+            chunk, cond = item     # (Chunk, cond) pair — conditioned corpus
+        else:
+            chunk, cond = item, None
+        kwargs = {}
+        if cond is not None:
+            kwargs["cond"] = cond
+        if exp.model.n_speakers and chunk.speakers is not None:
+            kwargs["speakers"] = chunk.speakers
+        hiddens, nll = step(params, hiddens, chunk.inputs, chunk.targets,
+                            chunk.resets.astype(np.float32), **kwargs)
+        total += float(nll)
+        n_batches += 1
+    mgr.close()
+    print(json.dumps({
+        "split": args.split,
+        "nll_bits": round(total / max(n_batches, 1), 6),
+        "batches": n_batches,
+        "held_out": held_out,   # False = split was empty, train fallback
+        "step": int(restored["step"]),
+    }))
 
 
 def main(argv=None):
@@ -287,7 +357,20 @@ def main(argv=None):
     pg.add_argument("--cond", help=".npy PASE embedding for TTS")
     pg.add_argument("--speaker", type=int,
                     help="speaker id (models trained with n_speakers)")
+    pg.add_argument("--seed-wav", dest="seed_wav",
+                    help="wav file to continue from (primes decoder state)")
     pg.set_defaults(fn=cmd_generate)
+
+    pv = sub.add_parser("evaluate",
+                        help="held-out NLL (bits/sample) of a checkpoint")
+    pv.add_argument("--ckpt", required=True, help="experiment dir")
+    pv.add_argument("--dataset", required=True)
+    pv.add_argument("--split", choices=["val", "test", "train"],
+                    default="test")
+    pv.add_argument("--cond-dir", dest="cond_dir")
+    pv.add_argument("--batch_size", type=int)
+    pv.add_argument("--seq_len", type=int)
+    pv.set_defaults(fn=cmd_evaluate)
 
     args = p.parse_args(argv)
     args.fn(args)

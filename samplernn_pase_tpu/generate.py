@@ -349,6 +349,45 @@ def generate_levels(params, cfg: SampleRNNConfig, n_seqs: int, length: int,
     return levels[:, :length]
 
 
+def prime(params, cfg: SampleRNNConfig, levels, cond=None, speakers=None):
+    """Warm the decoder state from a seed waveform (audio continuation).
+
+    Runs the teacher-forced forward pass over the tail of ``levels``
+    [B, L] int32 (L >= 2*lookback for any state warm-up; shorter seeds
+    just fill the sample window) and returns ``(states, hist)`` to pass
+    to :func:`generate_levels` as ``initial_states=`` / ``hist=`` — the
+    generated continuation then picks up where the seed audio stops,
+    with per-tier RNN state reflecting the seed's recent past instead of
+    zeros. ``cond`` rows (if given) follow the corpus convention (row r
+    covers seed samples [r*cond_rate, (r+1)*cond_rate)); the priming
+    span is the seed tail, so rows align to within one cond frame.
+    """
+    levels = jnp.asarray(levels, jnp.int32)
+    b, total = levels.shape
+    lookback = cfg.lookback
+    states = samplernn.initial_state(params, cfg, b)
+    if total < lookback:
+        hist = jnp.concatenate([
+            jnp.full((b, lookback - total), quantize_zero(cfg.q_levels),
+                     jnp.int32), levels], axis=1)
+        return states, hist
+    # largest tail slice usable as [lookback context + T, T % lookback == 0]
+    t = (total - lookback) // lookback * lookback
+    hist = levels[:, total - lookback:]
+    if t <= 0:
+        return states, hist
+    inputs = levels[:, total - lookback - t:]
+    if cond is not None:
+        cond = jnp.asarray(cond)
+        row0 = (total - lookback - t) // cfg.cond_rate
+        cond = cond[:, row0:]
+    if speakers is not None:
+        speakers = jnp.asarray(speakers, jnp.int32)
+    _, states = samplernn.forward(params, cfg, inputs, states, cond=cond,
+                                  speakers=speakers)
+    return states, hist
+
+
 def generate(params, cfg: SampleRNNConfig, n_seqs: int, length: int,
              temperature: float | None = 1.0, key=None, cond=None,
              use_pallas: bool | str | None = None, speakers=None):

@@ -119,3 +119,50 @@ def test_non_multiple_length_trims():
     b = np.asarray(gen.generate_levels(params, CFG, 2, CFG.lookback * 5,
                                        temperature=None, use_pallas=False))
     np.testing.assert_array_equal(a, b[:, :37])
+
+
+def test_prime_matches_forward_states():
+    """prime() must warm states exactly as the teacher-forced forward
+    pass over the seed tail, and hist must be the seed's last lookback
+    samples — so a seeded continuation is state-consistent with having
+    'heard' the seed."""
+    params = samplernn.init_params(jax.random.PRNGKey(0), CFG)
+    rng = np.random.default_rng(3)
+    lb = CFG.lookback
+    seed = jnp.asarray(rng.integers(0, 256, (2, lb * 5 + 3)), jnp.int32)
+
+    states, hist = gen.prime(params, CFG, seed)
+    np.testing.assert_array_equal(hist, seed[:, -lb:])
+
+    # oracle: forward over the same tail slice
+    total = seed.shape[1]
+    t = (total - lb) // lb * lb
+    inputs = seed[:, total - lb - t:]
+    s0 = samplernn.initial_state(params, CFG, 2)
+    _, expect = samplernn.forward(params, CFG, inputs, s0)
+    for got, exp in zip(states, expect):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(exp),
+                                   atol=1e-6)
+    # warm state must differ from zeros (the seed actually mattered)
+    assert any(float(jnp.abs(s).max()) > 1e-4 for s in states)
+
+    # the continuation must run and differ from an unseeded generation
+    seeded = gen.generate_levels(params, CFG, 2, 32, temperature=None,
+                                 initial_states=states, hist=hist)
+    unseeded = gen.generate_levels(params, CFG, 2, 32, temperature=None)
+    assert seeded.shape == (2, 32)
+
+
+def test_prime_short_seed_pads_window():
+    """Seeds shorter than lookback fill the window with q_zero padding
+    and leave states at init (nothing to teacher-force)."""
+    params = samplernn.init_params(jax.random.PRNGKey(0), CFG)
+    lb = CFG.lookback
+    seed = jnp.asarray([[10, 20, 30]], jnp.int32)
+    states, hist = gen.prime(params, CFG, seed)
+    assert hist.shape == (1, lb)
+    np.testing.assert_array_equal(hist[0, -3:], [10, 20, 30])
+    np.testing.assert_array_equal(
+        hist[0, :-3], np.full(lb - 3, quantize_zero(256)))
+    for s, s0 in zip(states, samplernn.initial_state(params, CFG, 1)):
+        np.testing.assert_array_equal(np.asarray(s), np.asarray(s0))
