@@ -158,6 +158,33 @@ def _kernel_scratch_bytes(cfg, n_seqs: int) -> int:
             + n_seqs * 2 * f1 * slot * 2)        # one-hot/embed ring
 
 
+def _stream_top_bytes(cfg):
+    """(HBM-streamable top-tier weight bytes, stream scratch bytes)."""
+    h = cfg.dim
+    gates = 3 if cfg.rnn_type == "gru" else 4
+    f_top = cfg.frame_sizes[-1]
+    big = 2 * (cfg.n_rnn * 2 * gates * h * h + h * f_top * h)
+    scratch = 2 * h * max(gates, f_top) * h
+    return big, scratch
+
+
+def _megakernel_mode(cfg, n_seqs):
+    """VMEM feasibility of the megakernel: "resident" (all weights in
+    VMEM), "stream" (top tier's matrices DMA-streamed from HBM — it runs
+    once per lookback samples so the traffic is noise; admits BASELINE
+    config 2's 3-tier LSTM at dim 1024), or None (does not fit)."""
+    base = (_kernel_scratch_bytes(cfg, n_seqs)
+            + n_seqs * cfg.lookback * 4)      # >= one output frame
+    cap = 112 * 1024 * 1024   # v5e-class ~128 MiB minus working space
+    wb = _megakernel_weight_bytes(cfg)
+    if wb + base <= cap:
+        return "resident"
+    big, scratch = _stream_top_bytes(cfg)
+    if wb - big + scratch + base <= cap:
+        return "stream"
+    return None
+
+
 def _full_kernel_eligible(cfg, cond, use_pallas, temperature, n_seqs):
     """Route to the whole-generation megakernel (ops/pallas/megagen.py)?"""
     if cfg.cond_dim and cond is None:
@@ -172,10 +199,7 @@ def _full_kernel_eligible(cfg, cond, use_pallas, temperature, n_seqs):
     # 128-aligned offsets (interpret mode does not enforce tiling)
     if cfg.dim % 128 != 0 and use_pallas != "interpret":
         return False
-    # weights + scratch + at least one output frame must fit resident
-    # in VMEM (v5e-class: ~128 MiB, minus compiler working space)
-    if (_megakernel_weight_bytes(cfg) + _kernel_scratch_bytes(cfg, n_seqs)
-            + n_seqs * cfg.lookback * 4) > 112 * 1024 * 1024:
+    if _megakernel_mode(cfg, n_seqs) is None:
         return False
     if use_pallas == "frame":
         return False   # explicit per-frame kernel path
@@ -221,10 +245,15 @@ def _generate_full(params, cfg, n_seqs, length, temperature, key, hist,
     # must fit the ~128 MiB VMEM; big models (n_rnn >= 2 at dim 1024)
     # leave little room, so the chunk length adapts instead of a fixed
     # 8 MiB output budget
+    mode = _megakernel_mode(cfg, n_seqs)
+    stream_top = mode == "stream"
+    wb_eff = _megakernel_weight_bytes(cfg)
+    if stream_top:
+        big, scratch = _stream_top_bytes(cfg)
+        wb_eff = wb_eff - big + scratch
     out_budget = min(
         8 << 20,
-        (112 << 20) - _megakernel_weight_bytes(cfg)
-        - _kernel_scratch_bytes(cfg, n_seqs))
+        (112 << 20) - wb_eff - _kernel_scratch_bytes(cfg, n_seqs))
     chunk_top = max(1, min(n_top,
                            int(out_budget) // (n_seqs * lookback * 4)))
     if ext_all is not None:
@@ -267,7 +296,7 @@ def _generate_full(params, cfg, n_seqs, length, temperature, key, hist,
             n_top=step_top, q_levels=cfg.q_levels,
             deterministic=temperature is None, interpret=interpret,
             rnn_type=cfg.rnn_type, weights_dtype=cfg.compute_dtype,
-            **cond_kw)
+            stream_top=stream_top, **cond_kw)
         # [n_top, B, lookback] -> [B, n_top*lookback]
         samples = jnp.moveaxis(blocks3d, 0, 1).reshape(
             n_seqs, step_top * lookback)

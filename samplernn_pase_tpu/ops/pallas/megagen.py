@@ -50,13 +50,9 @@ def _embed_col(levels_col, embed, n_levels):
     return jnp.dot(onehot, embed, preferred_element_type=jnp.float32)
 
 
-def _cell(rnn_type, x, state, wih, bih, whh, bhh, hdim):
-    """One GRU/LSTM step. state [n_state, B, H] -> new state."""
-    xg = jnp.dot(x.astype(wih.dtype), wih,
-                 preferred_element_type=jnp.float32) + bih
+def _gates(rnn_type, xg, hg, state, hdim):
+    """Gate math shared by the resident and streamed cell forms."""
     h = state[0]
-    hg = jnp.dot(h.astype(whh.dtype), whh,
-                 preferred_element_type=jnp.float32) + bhh
     if rnn_type == "gru":
         r = jax.nn.sigmoid(xg[:, :hdim] + hg[:, :hdim])
         z = jax.nn.sigmoid(xg[:, hdim:2 * hdim] + hg[:, hdim:2 * hdim])
@@ -74,6 +70,41 @@ def _cell(rnn_type, x, state, wih, bih, whh, bhh, hdim):
     return jnp.stack([h_new, c_new])
 
 
+def _cell(rnn_type, x, state, wih, bih, whh, bhh, hdim):
+    """One GRU/LSTM step. state [n_state, B, H] -> new state."""
+    xg = jnp.dot(x.astype(wih.dtype), wih,
+                 preferred_element_type=jnp.float32) + bih
+    hg = jnp.dot(state[0].astype(whh.dtype), whh,
+                 preferred_element_type=jnp.float32) + bhh
+    return _gates(rnn_type, xg, hg, state, hdim)
+
+
+def _cell_streamed(rnn_type, x, state, wih_any, bih, whh_any, bhh, hdim,
+                   sc_ref, sem, gw):
+    """Streamed cell: the [H, gates*H] weight matrices live in HBM
+    (memory_space=ANY) and are DMA'd through one VMEM scratch slot just
+    before use.  Only worth it for a tier that runs rarely (the top
+    tier: once per lookback samples), where the ~25 MB/step HBM traffic
+    amortizes to noise but the VMEM savings re-enable the megakernel for
+    models whose full weight set does not fit (3-tier LSTM at dim 1024).
+    Mosaic's same-ref ordering serializes the second DMA's write behind
+    the first dot's read of the scratch slot."""
+    dst = sc_ref.at[:, pl.ds(0, gw)]
+    cp = pltpu.make_async_copy(wih_any, dst, sem)
+    cp.start()
+    cp.wait()
+    w = sc_ref[:, pl.ds(0, gw)]
+    xg = jnp.dot(x.astype(w.dtype), w,
+                 preferred_element_type=jnp.float32) + bih
+    cp = pltpu.make_async_copy(whh_any, dst, sem)
+    cp.start()
+    cp.wait()
+    w = sc_ref[:, pl.ds(0, gw)]
+    hg = jnp.dot(state[0].astype(w.dtype), w,
+                 preferred_element_type=jnp.float32) + bhh
+    return _gates(rnn_type, xg, hg, state, hdim)
+
+
 def _onehot_col(levels_col, n_levels, dtype):
     b = levels_col.shape[0]
     ids = jax.lax.broadcasted_iota(jnp.int32, (b, n_levels), 1)
@@ -81,14 +112,21 @@ def _onehot_col(levels_col, n_levels, dtype):
 
 
 def _kernel(frame_sizes, n_top, q_levels, deterministic, cond_rate,
-            rnn_type, n_rnn, use_ring, fused_embed, seed_ref, temp_ref,
-            *refs):
+            rnn_type, n_rnn, use_ring, fused_embed, stream_top, seed_ref,
+            temp_ref, *refs):
     # VMEM scratch (tail of the ref list): per-frame hoisted cond rows,
-    # per-frame gumbel noise, and (ring mode) the embedded window
+    # per-frame gumbel noise, (ring mode) the embedded window, and
+    # (stream mode) the top-tier weight slot + its DMA semaphore
+    n_tail = 2 + (1 if use_ring else 0) + (2 if stream_top else 0)
+    tail = refs[len(refs) - n_tail:]
+    refs = refs[:len(refs) - n_tail]
+    cond_sc_ref, gum_sc_ref = tail[0], tail[1]
+    ti = 2
     if use_ring:
-        *refs, cond_sc_ref, gum_sc_ref, ebuf_ref = refs
-    else:
-        *refs, cond_sc_ref, gum_sc_ref = refs
+        ebuf_ref = tail[ti]
+        ti += 1
+    if stream_top:
+        wtop_sc, wtop_sem = tail[ti], tail[ti + 1]
     k_tiers = len(frame_sizes)
     n_states = k_tiers * n_rnn      # one state ref per (tier, layer)
     spans = []
@@ -141,6 +179,8 @@ def _kernel(frame_sizes, n_top, q_levels, deterministic, cond_rate,
             x = x + ext_refs[k][row]
         return x
 
+    gates = 3 if rnn_type == "gru" else 4
+
     def tier_cell(k, x, states):
         """Static stack of n_rnn cells: layer i feeds layer i+1's input
         (SURVEY.md §2 C4 `n_rnn`). states: list of [n_state, B, H]."""
@@ -148,8 +188,13 @@ def _kernel(frame_sizes, n_top, q_levels, deterministic, cond_rate,
         h = x
         for i in range(n_rnn):
             wih, bih, whh, bhh = tier_refs[k][2 + 4 * i: 6 + 4 * i]
-            new = _cell(rnn_type, h, states[i], wih[:], bih[:], whh[:],
-                        bhh[:], hdim)
+            if stream_top and k == k_tiers - 1:
+                new = _cell_streamed(rnn_type, h, states[i], wih, bih[:],
+                                     whh, bhh[:], hdim, wtop_sc, wtop_sem,
+                                     gates * hdim)
+            else:
+                new = _cell(rnn_type, h, states[i], wih[:], bih[:],
+                            whh[:], bhh[:], hdim)
             h = new[0]
             new_states.append(new)
         return tuple(new_states)   # tuple: stable pytree across fori_loop
@@ -160,6 +205,10 @@ def _kernel(frame_sizes, n_top, q_levels, deterministic, cond_rate,
 
     def up_row(k, states, j):
         wup, bup = _up_refs(k)
+        if stream_top and k == k_tiers - 1:
+            # the whole top w_up was DMA'd into the scratch slot right
+            # after the top cell ran (see decode)
+            wup = wtop_sc
         h_bf = states[-1][0].astype(wup.dtype)   # last rnn layer's h
         return jnp.dot(h_bf, wup[:, pl.ds(j * hdim, hdim)],
                        preferred_element_type=jnp.float32) \
@@ -245,6 +294,15 @@ def _kernel(frame_sizes, n_top, q_levels, deterministic, cond_rate,
         prev = ctx["last"][k]
         x = tier_in(k, prev, upper, pos)
         ctx["h"][k] = tier_cell(k, x, ctx["h"][k])
+        if stream_top and k == k_tiers - 1:
+            # stage the top tier's w_up into the scratch slot for the
+            # up_row reads below (the cell's gate reads of the slot are
+            # ordered before this write by Mosaic's same-ref tracking)
+            cp = pltpu.make_async_copy(
+                _up_refs(k)[0],
+                wtop_sc.at[:, pl.ds(0, frame_sizes[k] * hdim)], wtop_sem)
+            cp.start()
+            cp.wait()
         if k == 0:
             # hoist: ALL f1 cond rows in one [B,H]@[H,f1*H] matmul into
             # scratch (per-row bias added at use — a (f1,H)->(1,f1*H)
@@ -320,14 +378,15 @@ def _kernel(frame_sizes, n_top, q_levels, deterministic, cond_rate,
 
 @functools.partial(jax.jit, static_argnames=(
     "n_top", "q_levels", "deterministic", "interpret", "cond_rate",
-    "rnn_type", "weights_dtype"))
+    "rnn_type", "weights_dtype", "stream_top"))
 def generate_full_pallas(window, states, temperature, seed, tiers, mlp, *,
                          n_top: int, q_levels: int = 256,
                          deterministic: bool = False,
                          interpret: bool = False, cond_rate: int = 0,
                          ext_proj=None, cond_offsets=None,
                          rnn_type: str = "gru",
-                         weights_dtype: str = "bfloat16"):
+                         weights_dtype: str = "bfloat16",
+                         stream_top: bool = False):
     """Run the full generation megakernel (K tiers, GRU or LSTM, any
     static n_rnn — stacked layers per tier run as a static cell stack).
 
@@ -337,6 +396,13 @@ def generate_full_pallas(window, states, temperature, seed, tiers, mlp, *,
     (samples [n_top, B, lookback] int32, final_states tuple in the same
     model layout) so long generations are chunked without blowing the
     VMEM output buffer.
+
+    stream_top=True keeps the TOP tier's weight matrices (w_ih/w_hh per
+    layer + w_up) in HBM and DMA-streams them through one VMEM scratch
+    slot each top frame.  The top tier runs once per ``lookback``
+    samples, so the extra HBM traffic (~tens of MB per lookback) is
+    noise, while the VMEM savings admit models whose full weight set
+    exceeds the budget (3-tier LSTM at dim 1024, BASELINE config 2).
     """
     b, lookback = window.shape
     hdim = states[0].shape[-1]
@@ -422,16 +488,32 @@ def generate_full_pallas(window, states, temperature, seed, tiers, mlp, *,
     ]
     if use_ring:
         scratch.append(pltpu.VMEM((b, 2 * f1 * slot_w), wt))
+    trc = _tier_ref_count(n_rnn)
+    gates_n = 3 if rnn_type == "gru" else 4
+    in_specs = [smem] * n_smem + [vmem] * (len(args) - n_smem)
+    if stream_top:
+        # the top tier's big matrices stay in HBM and are DMA'd per use
+        any_spec = pl.BlockSpec(memory_space=pl.ANY)
+        top0 = (n_smem + (k if cond_rate else 0)   # ext_proj streams
+                + 1 + len(flat_states)             # window + states
+                + (k - 1) * trc)                   # lower tiers
+        for i in range(n_rnn):
+            in_specs[top0 + 2 + 4 * i] = any_spec   # w_ih
+            in_specs[top0 + 4 + 4 * i] = any_spec   # w_hh
+        in_specs[top0 + 2 + 4 * n_rnn] = any_spec   # w_up
+        scratch.append(pltpu.VMEM(
+            (hdim, max(gates_n, frame_sizes[-1]) * hdim), wt))
+        scratch.append(pltpu.SemaphoreType.DMA(()))
     outs = pl.pallas_call(
         functools.partial(_kernel, frame_sizes, n_top, q_levels,
                           deterministic, cond_rate, rnn_type, n_rnn,
-                          use_ring, fused_embed),
+                          use_ring, fused_embed, stream_top),
         out_shape=(
             jax.ShapeDtypeStruct((n_top, b, lookback), jnp.int32),
             *(jax.ShapeDtypeStruct((n_state, b, hdim), jnp.float32)
               for _ in range(k * n_rnn)),
         ),
-        in_specs=[smem] * n_smem + [vmem] * (len(args) - n_smem),
+        in_specs=in_specs,
         out_specs=(vmem,) * (1 + k * n_rnn),
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(

@@ -31,7 +31,9 @@ LENGTH = 16_384
 # metric name -> floor (samples/sec for gen, ms for train)
 FLOORS = {
     "gen_flagship_2tier_gru": 10_000_000.0,
-    "gen_3tier_lstm": 5_000_000.0,
+    # 11.2 M/s measured with the stream_top megakernel (round 2); a
+    # regression to the per-frame fallback (~7 M/s) must trip this
+    "gen_3tier_lstm": 9_000_000.0,
     "gen_conditioned_tts": 8_000_000.0,
     "train_step_ms_b128_seq1024": 48.0,
 }

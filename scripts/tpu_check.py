@@ -113,6 +113,32 @@ def main():
     print(f"3-tier LSTM bf16 self-consistency: {self3:.4f}")
     assert self3 > 0.97, self3
 
+    # --- stream_top megakernel (top-tier weights DMA'd from HBM) ---
+    # the streamed form must be BIT-identical to the resident form on
+    # hardware: same math, different residency (any mismatch = a DMA
+    # ordering bug in the scratch-slot reuse)
+    from samplernn_pase_tpu.ops.pallas.megagen import generate_full_pallas
+    for rt, fs in (("gru", (16, 4)), ("lstm", (16, 4, 4))):
+        cfgS = SampleRNNConfig(frame_sizes=fs, dim=128, embed_dim=32,
+                               rnn_type=rt, compute_dtype="float32")
+        pS = samplernn.init_params(jax.random.PRNGKey(4), cfgS)
+        winS = jnp.full((4, cfgS.lookback), quantize_zero(cfgS.q_levels),
+                        jnp.int32)
+        stS = samplernn.initial_state(pS, cfgS, 4)
+        outS = {}
+        for stream in (False, True):
+            s, fin = generate_full_pallas(
+                winS, tuple(stS), 0.0, jnp.int32(0),
+                list(pS["tiers"]), pS["mlp"], n_top=4,
+                q_levels=256, deterministic=True, rnn_type=rt,
+                weights_dtype="float32", stream_top=stream)
+            outS[stream] = (np.asarray(s), [np.asarray(f) for f in fin])
+        eq = (outS[False][0] == outS[True][0]).mean()
+        print(f"stream_top {rt} vs resident agreement (f32): {eq:.4f}")
+        assert eq == 1.0, eq
+        for a, b_ in zip(outS[False][1], outS[True][1]):
+            np.testing.assert_array_equal(a, b_)
+
     # --- conditioned megakernel (config 4 shape) ---
     # f32 greedy must match the XLA scan exactly; bf16 is checked by
     # rescoring (the one-shot bf16 cond projection flips near-tie

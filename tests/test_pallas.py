@@ -285,3 +285,50 @@ def test_conditioned_megakernel_multi_chunk():
     got = gen.generate_levels(params, cfg, 2, t, temperature=None,
                               cond=cond, use_pallas="interpret")
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
+def test_megakernel_stream_top_matches_resident():
+    """stream_top=True (top-tier weights DMA'd from HBM through the
+    scratch slot) must be BIT-identical to the resident form — same
+    math, different weight residency. Covers GRU and LSTM, 2 and 3
+    tiers, multi-frame so the scratch slot is reused across frames."""
+    from samplernn_pase_tpu.ops.pallas.megagen import generate_full_pallas
+
+    for rnn_type, fs in (("gru", (4, 2)), ("lstm", (4, 2, 2))):
+        cfg = SampleRNNConfig(frame_sizes=fs, dim=16, embed_dim=8,
+                              rnn_type=rnn_type, compute_dtype="float32")
+        params = samplernn.init_params(jax.random.PRNGKey(11), cfg)
+        rng = np.random.default_rng(5)
+        window = jnp.asarray(
+            rng.integers(0, 256, (2, cfg.lookback), np.int32))
+        states = samplernn.initial_state(params, cfg, 2)
+        outs = {}
+        for stream in (False, True):
+            samples, fin = generate_full_pallas(
+                window, tuple(states), 0.0, jnp.int32(0),
+                list(params["tiers"]), params["mlp"], n_top=3,
+                q_levels=256, deterministic=True, interpret=True,
+                rnn_type=rnn_type, weights_dtype="float32",
+                stream_top=stream)
+            outs[stream] = (np.asarray(samples),
+                            [np.asarray(f) for f in fin])
+        np.testing.assert_array_equal(outs[False][0], outs[True][0])
+        for a, b in zip(outs[False][1], outs[True][1]):
+            np.testing.assert_array_equal(a, b)
+
+
+def test_megakernel_mode_selection():
+    """VMEM routing: the flagship fits resident; config 2's 3-tier LSTM
+    at dim 1024 only fits with the top tier streamed; an impossible
+    model gets None (falls back off the megakernel)."""
+    flagship = SampleRNNConfig(frame_sizes=(16, 4), dim=1024,
+                               embed_dim=256, compute_dtype="bfloat16")
+    assert gen._megakernel_mode(flagship, 128) == "resident"
+    c2 = SampleRNNConfig(frame_sizes=(16, 4, 4), dim=1024, embed_dim=256,
+                         rnn_type="lstm", compute_dtype="bfloat16")
+    assert gen._megakernel_mode(c2, 128) == "stream"
+    assert gen._full_kernel_eligible(c2, None, True, 0.95, 128)
+    huge = SampleRNNConfig(frame_sizes=(16, 4, 4), dim=2048,
+                           embed_dim=256, rnn_type="lstm",
+                           compute_dtype="bfloat16", n_rnn=2)
+    assert gen._megakernel_mode(huge, 128) is None
