@@ -219,10 +219,22 @@ def cmd_generate(args):
     length = flag("length", gcfg.length)
     cond = None
     if args.cond:
+        if not (exp.model.cond_dim and exp.model.cond_rate):
+            sys.exit("--cond requires a model trained with conditioning "
+                     "(cond_dim/cond_rate); this checkpoint has none")
         emb = np.load(args.cond)
+        if emb.ndim != 2 or emb.shape[1] != exp.model.cond_dim:
+            sys.exit(f"--cond {args.cond}: expected [frames, "
+                     f"{exp.model.cond_dim}] embedding, got {emb.shape}")
         cond = np.broadcast_to(emb[None], (n, *emb.shape))
     speakers = None
     if args.speaker is not None:
+        if not exp.model.n_speakers:
+            sys.exit("--speaker requires a model trained with n_speakers; "
+                     "this checkpoint has none")
+        if not 0 <= args.speaker < exp.model.n_speakers:
+            sys.exit(f"--speaker {args.speaker} out of range "
+                     f"[0, {exp.model.n_speakers})")
         speakers = np.full((n,), args.speaker, np.int32)
     prime_kw = {}
     if args.seed_wav:

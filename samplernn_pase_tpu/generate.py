@@ -168,6 +168,15 @@ def _stream_top_bytes(cfg):
     return big, scratch
 
 
+_VMEM_CAP = 112 * 1024 * 1024   # v5e-class ~128 MiB minus working space
+
+
+def _cond_row_bytes(cfg, n_seqs):
+    """f32 VMEM bytes of ONE conditioning row across all tiers (the
+    per-tier projected streams ride in the kernel)."""
+    return cfg.n_tiers * n_seqs * cfg.dim * 4
+
+
 def _megakernel_mode(cfg, n_seqs):
     """VMEM feasibility of the megakernel: "resident" (all weights in
     VMEM), "stream" (top tier's matrices DMA-streamed from HBM — it runs
@@ -175,12 +184,15 @@ def _megakernel_mode(cfg, n_seqs):
     config 2's 3-tier LSTM at dim 1024), or None (does not fit)."""
     base = (_kernel_scratch_bytes(cfg, n_seqs)
             + n_seqs * cfg.lookback * 4)      # >= one output frame
-    cap = 112 * 1024 * 1024   # v5e-class ~128 MiB minus working space
+    if cfg.cond_dim and cfg.cond_rate:
+        # conditioned decode: at least one chunk's cond rows resident
+        base += _cond_row_bytes(cfg, n_seqs) * (
+            cfg.lookback // cfg.cond_rate + 2)
     wb = _megakernel_weight_bytes(cfg)
-    if wb + base <= cap:
+    if wb + base <= _VMEM_CAP:
         return "resident"
     big, scratch = _stream_top_bytes(cfg)
-    if wb - big + scratch + base <= cap:
+    if wb - big + scratch + base <= _VMEM_CAP:
         return "stream"
     return None
 
@@ -251,16 +263,16 @@ def _generate_full(params, cfg, n_seqs, length, temperature, key, hist,
     if stream_top:
         big, scratch = _stream_top_bytes(cfg)
         wb_eff = wb_eff - big + scratch
-    out_budget = min(
-        8 << 20,
-        (112 << 20) - wb_eff - _kernel_scratch_bytes(cfg, n_seqs))
-    chunk_top = max(1, min(n_top,
-                           int(out_budget) // (n_seqs * lookback * 4)))
+    avail = (112 << 20) - wb_eff - _kernel_scratch_bytes(cfg, n_seqs)
+    # per-top-frame VMEM: the int32 output block, plus (conditioned) the
+    # f32 cond rows that cover one lookback span across all tiers
+    per_top = float(n_seqs * lookback * 4)
     if ext_all is not None:
-        # conditioned chunks are bounded by the VMEM-resident cond
-        # streams (f32 [rows, B, H] per tier) on top of the resident
-        # weights and the cond/gumbel/ring scratch
-        chunk_top = min(chunk_top, 48)
+        row_bytes = _cond_row_bytes(cfg, n_seqs)
+        per_top += row_bytes * lookback / cfg.cond_rate
+        avail -= 2 * row_bytes           # row-rounding margin
+    chunk_top = max(1, min(n_top, int(avail // per_top),
+                           (8 << 20) // (n_seqs * lookback * 4)))
     blocks = []
     done = 0
     c = 0

@@ -168,3 +168,24 @@ def test_cli_generate_seed_wav(wav_dir, tmp_path):
     assert len(wavs) == 1
     y, _ = read_wav(wavs[0])
     assert len(y) == 128 and np.isfinite(y).all()
+
+
+def test_cli_generate_flag_validation(wav_dir, tmp_path):
+    """--speaker / --cond against a checkpoint without those features
+    must exit with a clear message, not a KeyError deep in the model."""
+    from samplernn_pase_tpu import cli
+    exp = tmp_path / "exp"
+    cli.main([
+        "train", "--dataset", str(wav_dir), "--exp-dir", str(exp),
+        "--frame_sizes", "4", "2", "--dim", "16", "--embed_dim", "8",
+        "--batch_size", "2", "--seq_len", "256", "--epochs", "1",
+    ])
+    out = tmp_path / "gen"
+    with pytest.raises(SystemExit, match="n_speakers"):
+        cli.main(["generate", "--ckpt", str(exp), "--out", str(out),
+                  "--n_seqs", "1", "--length", "64", "--speaker", "0"])
+    bad = tmp_path / "bad.npy"
+    np.save(bad, np.zeros((4, 8), np.float32))
+    with pytest.raises(SystemExit, match="cond"):
+        cli.main(["generate", "--ckpt", str(exp), "--out", str(out),
+                  "--n_seqs", "1", "--length", "64", "--cond", str(bad)])

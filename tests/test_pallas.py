@@ -332,3 +332,38 @@ def test_megakernel_mode_selection():
                            embed_dim=256, rnn_type="lstm",
                            compute_dtype="bfloat16", n_rnn=2)
     assert gen._megakernel_mode(huge, 128) is None
+
+
+def test_megakernel_stream_top_conditioned_matches_resident():
+    """Conditioned decode under stream_top (the combination a 3-tier
+    conditioned LSTM at dim 1024 now routes to): bit-identical to the
+    resident form, per-tier cond streams included."""
+    from samplernn_pase_tpu.ops.pallas.megagen import generate_full_pallas
+
+    cfg = SampleRNNConfig(frame_sizes=(4, 2, 2), dim=16, embed_dim=8,
+                          rnn_type="lstm", cond_dim=6, cond_rate=8,
+                          compute_dtype="float32")
+    params = samplernn.init_params(jax.random.PRNGKey(13), cfg)
+    n_top, b = 3, 2
+    t = cfg.lookback * n_top
+    cond = jax.random.normal(jax.random.PRNGKey(14),
+                             (b, t // cfg.cond_rate, cfg.cond_dim))
+    ext = tuple(
+        jnp.moveaxis(jnp.matmul(cond, tier["w_cond"]), 0, 1)
+        for tier in params["tiers"])
+    window = jnp.full((b, cfg.lookback), 128, jnp.int32)
+    states = samplernn.initial_state(params, cfg, b)
+    outs = {}
+    for stream in (False, True):
+        s, fin = generate_full_pallas(
+            window, tuple(states), 0.0, jnp.int32(0),
+            list(params["tiers"]), params["mlp"], n_top=n_top,
+            q_levels=256, deterministic=True, interpret=True,
+            cond_rate=cfg.cond_rate, ext_proj=ext,
+            cond_offsets=jnp.asarray([0, 0], jnp.int32),
+            rnn_type="lstm", weights_dtype="float32",
+            stream_top=stream)
+        outs[stream] = (np.asarray(s), [np.asarray(f) for f in fin])
+    np.testing.assert_array_equal(outs[False][0], outs[True][0])
+    for a, b_ in zip(outs[False][1], outs[True][1]):
+        np.testing.assert_array_equal(a, b_)
