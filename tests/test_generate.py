@@ -166,3 +166,27 @@ def test_prime_short_seed_pads_window():
         hist[0, :-3], np.full(lb - 3, quantize_zero(256)))
     for s, s0 in zip(states, samplernn.initial_state(params, CFG, 1)):
         np.testing.assert_array_equal(np.asarray(s), np.asarray(s0))
+
+
+def test_generate_q_levels_512():
+    """Non-default quantizer depth: decode == teacher-forced argmax at
+    q_levels=512 (exercises q-dependent shapes through embed, logits,
+    codec, and window handling)."""
+    cfg = SampleRNNConfig(frame_sizes=(4, 2), dim=16, rnn_type="gru",
+                          embed_dim=8, q_levels=512,
+                          compute_dtype="float32")
+    params = samplernn.init_params(jax.random.PRNGKey(0), cfg)
+    t = cfg.lookback * 4
+    levels = gen.generate_levels(params, cfg, 2, t, temperature=None,
+                                 use_pallas=False)
+    assert levels.shape == (2, t)
+    assert 0 <= int(jnp.min(levels)) and int(jnp.max(levels)) < 512
+    # greedy decode must equal argmax of the forward pass over its own
+    # history (the decode==teacher-forced invariant, q-generalized)
+    inputs = jnp.concatenate(
+        [jnp.full((2, cfg.lookback), quantize_zero(512), jnp.int32),
+         levels], axis=1)
+    state = samplernn.initial_state(params, cfg, 2)
+    logits, _ = samplernn.forward(params, cfg, inputs, state)
+    np.testing.assert_array_equal(
+        np.asarray(jnp.argmax(logits, axis=-1)), np.asarray(levels))
