@@ -11,6 +11,8 @@ from __future__ import annotations
 
 from pathlib import Path
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 import orbax.checkpoint as ocp
 
@@ -75,15 +77,45 @@ class CheckpointManager:
                 best, best_v = s, float(v)
         return best if best is not None else self.mgr.latest_step()
 
+    def _np_template(self, step: int):
+        """Host-numpy template built from the checkpoint's own metadata.
+
+        Template-less Orbax restore re-creates arrays on the DEVICES they
+        were saved on; a checkpoint written on one platform (CPU run,
+        different TPU topology) then fails to load on another ("Device
+        TFRT_CPU_0 was not found"). Restoring into a numpy template is
+        platform-neutral — consumers jit/device_put the arrays wherever
+        they run."""
+        import jax.tree_util as jtu
+
+        ckptr = ocp.StandardCheckpointer()
+        try:
+            meta = ckptr.metadata(
+                self.dir / str(step) / "default").item_metadata
+            leaves, treedef = jtu.tree_flatten(
+                meta, is_leaf=lambda x: hasattr(x, "shape"))
+            return jtu.tree_unflatten(
+                treedef,
+                [np.zeros(leaf.shape, leaf.dtype) for leaf in leaves])
+        finally:
+            ckptr.close()
+
     def restore(self, step: int | None = None, template=None):
         step = step if step is not None else self.mgr.latest_step()
         if step is None:
             return None
-        if template is not None:
-            restored = self.mgr.restore(
-                step, args=ocp.args.StandardRestore(template))
-        else:
-            restored = self.mgr.restore(step)
+        to_local_device = template is None
+        if template is None:
+            template = self._np_template(step)
+        restored = self.mgr.restore(
+            step, args=ocp.args.StandardRestore(template))
+        if to_local_device:
+            # numpy -> jax arrays on THIS process's default device (the
+            # whole point: the checkpoint loads wherever it is opened,
+            # not only on the platform that wrote it)
+            restored = {k: (v if k == "cursor"
+                            else jax.tree.map(jnp.asarray, v))
+                        for k, v in restored.items()}
         if restored.get("hiddens") is not None:
             restored["hiddens"] = tuple(restored["hiddens"])
         restored["step"] = step

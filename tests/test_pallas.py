@@ -294,9 +294,11 @@ def test_megakernel_stream_top_matches_resident():
     tiers, multi-frame so the scratch slot is reused across frames."""
     from samplernn_pase_tpu.ops.pallas.megagen import generate_full_pallas
 
-    for rnn_type, fs in (("gru", (4, 2)), ("lstm", (4, 2, 2))):
+    for rnn_type, fs, n_rnn in (("gru", (4, 2), 1), ("lstm", (4, 2, 2), 1),
+                                ("gru", (4, 2), 2)):
         cfg = SampleRNNConfig(frame_sizes=fs, dim=16, embed_dim=8,
-                              rnn_type=rnn_type, compute_dtype="float32")
+                              rnn_type=rnn_type, n_rnn=n_rnn,
+                              compute_dtype="float32")
         params = samplernn.init_params(jax.random.PRNGKey(11), cfg)
         rng = np.random.default_rng(5)
         window = jnp.asarray(

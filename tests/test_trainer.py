@@ -210,3 +210,33 @@ def test_mid_epoch_resume_skips_trained_chunks(tmp_path):
     t2.plugins.append(Tracker2())
     t2.run()
     assert seen2[0] == 5, seen2[:3]   # resumes AFTER the saved chunk
+
+
+def test_templateless_restore_is_platform_neutral(tmp_path):
+    """Restore WITHOUT a template must come back as host numpy built
+    from checkpoint metadata — a checkpoint saved on one platform (CPU
+    vs TPU) must load on any other (cmd_generate/cmd_evaluate restore
+    template-less; verified cross-platform on the TPU box against a
+    CPU-written checkpoint)."""
+    import numpy as np
+    from samplernn_pase_tpu.train.checkpoint import CheckpointManager
+
+    cfg = SampleRNNConfig(frame_sizes=(4, 2), dim=16, embed_dim=8,
+                          compute_dtype="float32")
+    params = samplernn.init_params(jax.random.PRNGKey(0), cfg)
+    hid = samplernn.initial_state(params, cfg, 2)
+    mgr = CheckpointManager(tmp_path / "ck")
+    mgr.save(5, params, hiddens=hid, cursor=np.asarray([0, 3, 6]))
+    mgr.wait()
+    r = mgr.restore()
+    assert r["step"] == 5
+    # leaves live on THIS process's devices (restored via a numpy
+    # template from checkpoint metadata, then device_put locally)
+    for leaf in jax.tree.leaves(r["params"]):
+        assert leaf.devices() <= set(jax.local_devices()), leaf
+    np.testing.assert_allclose(
+        np.asarray(r["params"]["mlp"]["b_in"]),
+        np.asarray(params["mlp"]["b_in"]))
+    np.testing.assert_array_equal(r["cursor"], [0, 3, 6])
+    assert len(r["hiddens"]) == cfg.n_tiers
+    mgr.close()
