@@ -204,9 +204,11 @@ def cmd_generate(args):
     exp_dir = Path(args.ckpt)
     exp = C.load_config(exp_dir / "config.json")
     mgr = CheckpointManager(exp_dir / "ckpt")
-    restored = mgr.restore()
+    restored = mgr.restore(step=_pick_step(args, mgr))
     if restored is None:
         sys.exit(f"no checkpoint under {exp_dir}/ckpt")
+    print(f"[generate] checkpoint step {restored['step']}",
+          file=sys.stderr)
     params = restored["params"]
     gcfg = exp.generate
 
@@ -272,6 +274,15 @@ def cmd_generate(args):
     mgr.close()
 
 
+def _pick_step(args, mgr):
+    """--step N > --best (lowest recorded val NLL) > latest."""
+    if getattr(args, "step", None) is not None:
+        return args.step
+    if getattr(args, "best", False):
+        return mgr.best_step()
+    return None          # restore() defaults to the latest step
+
+
 def cmd_evaluate(args):
     """Held-out NLL (bits/sample) of a checkpoint over a corpus split."""
     import json
@@ -285,7 +296,7 @@ def cmd_evaluate(args):
     exp_dir = Path(args.ckpt)
     exp = C.load_config(exp_dir / "config.json")
     mgr = CheckpointManager(exp_dir / "ckpt")
-    restored = mgr.restore()
+    restored = mgr.restore(step=_pick_step(args, mgr))
     if restored is None:
         sys.exit(f"no checkpoint under {exp_dir}/ckpt")
     params = restored["params"]
@@ -371,6 +382,10 @@ def main(argv=None):
                     help="speaker id (models trained with n_speakers)")
     pg.add_argument("--seed-wav", dest="seed_wav",
                     help="wav file to continue from (primes decoder state)")
+    pg.add_argument("--best", action="store_true",
+                    help="use the best-by-val-NLL checkpoint, not latest")
+    pg.add_argument("--step", type=int,
+                    help="use this exact checkpoint step")
     pg.set_defaults(fn=cmd_generate)
 
     pv = sub.add_parser("evaluate",
@@ -382,6 +397,10 @@ def main(argv=None):
     pv.add_argument("--cond-dir", dest="cond_dir")
     pv.add_argument("--batch_size", type=int)
     pv.add_argument("--seq_len", type=int)
+    pv.add_argument("--best", action="store_true",
+                    help="use the best-by-val-NLL checkpoint, not latest")
+    pv.add_argument("--step", type=int,
+                    help="use this exact checkpoint step")
     pv.set_defaults(fn=cmd_evaluate)
 
     args = p.parse_args(argv)

@@ -189,3 +189,29 @@ def test_cli_generate_flag_validation(wav_dir, tmp_path):
     with pytest.raises(SystemExit, match="cond"):
         cli.main(["generate", "--ckpt", str(exp), "--out", str(out),
                   "--n_seqs", "1", "--length", "64", "--cond", str(bad)])
+
+
+def test_cli_generate_best_and_step_flags(wav_dir, tmp_path):
+    """--best routes to the best-by-val-NLL checkpoint; --step pins an
+    exact one (exercised against a run with several saved steps)."""
+    from samplernn_pase_tpu import cli
+    exp = tmp_path / "exp"
+    cli.main([
+        "train", "--dataset", str(wav_dir), "--exp-dir", str(exp),
+        "--frame_sizes", "4", "2", "--dim", "16", "--embed_dim", "8",
+        "--batch_size", "2", "--seq_len", "256", "--epochs", "2",
+    ])
+    from samplernn_pase_tpu.train.checkpoint import CheckpointManager
+    mgr = CheckpointManager(exp / "ckpt")
+    steps = sorted({mgr.latest_step(), mgr.best_step()})
+    mgr.close()
+    out = tmp_path / "gen_best"
+    cli.main(["generate", "--ckpt", str(exp), "--out", str(out),
+              "--n_seqs", "1", "--length", "64", "--temperature", "0",
+              "--best"])
+    assert len(list(out.glob("*.wav"))) == 1
+    out2 = tmp_path / "gen_step"
+    cli.main(["generate", "--ckpt", str(exp), "--out", str(out2),
+              "--n_seqs", "1", "--length", "64", "--temperature", "0",
+              "--step", str(steps[0])])
+    assert len(list(out2.glob("*.wav"))) == 1
