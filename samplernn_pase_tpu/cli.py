@@ -178,7 +178,24 @@ def cmd_extract(args):
     from samplernn_pase_tpu.extract import extract_to_dir
 
     cfg = PASEConfig()
-    if args.pase_ckpt:
+    if getattr(args, "ckpt", None):
+        # adapted encoder from a `train --joint` experiment (C10/C11 on
+        # the jointly-trained model)
+        from samplernn_pase_tpu import config as C
+        from samplernn_pase_tpu.train.checkpoint import CheckpointManager
+        exp_dir = Path(args.ckpt)
+        exp = C.load_config(exp_dir / "config.json")
+        mgr = CheckpointManager(exp_dir / "ckpt")
+        restored = mgr.restore()
+        mgr.close()
+        payload = None if restored is None else restored["params"]
+        if not (isinstance(payload, dict) and "joint" in payload):
+            sys.exit(f"{exp_dir} is not a --joint experiment checkpoint")
+        cfg = exp.pase or cfg
+        params, bn_state = payload["joint"]["pase"], payload["bn"]
+        print(f"[extract] using jointly-trained encoder from {exp_dir} "
+              f"(step {restored['step']})", file=sys.stderr)
+    elif args.pase_ckpt:
         params, bn_state, report = pase_mod.load_torch_pase(
             args.pase_ckpt, cfg)
         print(f"[extract] imported {len(report['loaded'])} tensors, "
@@ -192,6 +209,47 @@ def cmd_extract(args):
         args.batch_size if args.batch_size is not None else 16)
     print(f"[extract] wrote {len(paths)} embedding files to {args.out}",
           file=sys.stderr)
+
+
+def _split_restored(exp, restored):
+    """Unpack a checkpoint payload: plain Trainer runs carry model
+    params; --joint runs carry {"joint": {"srnn", "pase"}, "bn"} — the
+    SampleRNN half drives generation/evaluation and the adapted PASE
+    encoder is available for conditioning (C10/C11 on the
+    jointly-trained model)."""
+    p = restored["params"]
+    if isinstance(p, dict) and "joint" in p:
+        return p["joint"]["srnn"], (p["joint"]["pase"], p["bn"])
+    return p, None
+
+
+def _embed_wav(path, pase_cfg, encoder, pase_ckpt):
+    """One wav -> PASE embedding [frames, D] using (in priority order)
+    the jointly-trained encoder from the checkpoint, a torch PASE ckpt,
+    or a random-init encoder (with a warning)."""
+    import jax
+    from samplernn_pase_tpu.extract import extract_embeddings
+    from samplernn_pase_tpu.models import pase as pase_mod
+    from samplernn_pase_tpu.ops.audio_io import read_wav, resample
+
+    if encoder is not None:
+        pase_params, bn_state = encoder
+        src = "jointly-trained encoder"
+    elif pase_ckpt:
+        pase_params, bn_state, _ = pase_mod.load_torch_pase(
+            pase_ckpt, pase_cfg)
+        src = f"torch ckpt {pase_ckpt}"
+    else:
+        pase_params, bn_state = pase_mod.init_pase(
+            jax.random.PRNGKey(0), pase_cfg)
+        src = "RANDOM-INIT encoder (pass --pase-ckpt for real features)"
+    x, sr = read_wav(path)
+    if sr != pase_cfg.sample_rate:
+        x = resample(x, sr, pase_cfg.sample_rate)
+    emb = extract_embeddings(pase_params, bn_state, pase_cfg, [x])[0]
+    print(f"[generate] conditioned on {path} via {src} "
+          f"({emb.shape[0]} frames)", file=sys.stderr)
+    return emb
 
 
 def cmd_generate(args):
@@ -209,7 +267,7 @@ def cmd_generate(args):
         sys.exit(f"no checkpoint under {exp_dir}/ckpt")
     print(f"[generate] checkpoint step {restored['step']}",
           file=sys.stderr)
-    params = restored["params"]
+    params, joint_encoder = _split_restored(exp, restored)
     gcfg = exp.generate
 
     def flag(name, default):
@@ -220,14 +278,21 @@ def cmd_generate(args):
     n = flag("n_seqs", gcfg.n_seqs)
     length = flag("length", gcfg.length)
     cond = None
-    if args.cond:
+    if args.cond or args.cond_wav:
         if not (exp.model.cond_dim and exp.model.cond_rate):
-            sys.exit("--cond requires a model trained with conditioning "
-                     "(cond_dim/cond_rate); this checkpoint has none")
-        emb = np.load(args.cond)
+            sys.exit("--cond/--cond-wav require a model trained with "
+                     "conditioning (cond_dim/cond_rate); this checkpoint "
+                     "has none")
+        if args.cond:
+            emb = np.load(args.cond)
+        else:
+            emb = np.asarray(_embed_wav(
+                args.cond_wav, exp.pase or C.PASEConfig(),
+                joint_encoder, args.pase_ckpt))
         if emb.ndim != 2 or emb.shape[1] != exp.model.cond_dim:
-            sys.exit(f"--cond {args.cond}: expected [frames, "
-                     f"{exp.model.cond_dim}] embedding, got {emb.shape}")
+            sys.exit(f"--cond{'-wav' if args.cond_wav else ''}: expected "
+                     f"[frames, {exp.model.cond_dim}] embedding, got "
+                     f"{emb.shape}")
         cond = np.broadcast_to(emb[None], (n, *emb.shape))
     speakers = None
     if args.speaker is not None:
@@ -299,7 +364,7 @@ def cmd_evaluate(args):
     restored = mgr.restore(step=_pick_step(args, mgr))
     if restored is None:
         sys.exit(f"no checkpoint under {exp_dir}/ckpt")
-    params = restored["params"]
+    params, joint_encoder = _split_restored(exp, restored)
     tcfg = exp.train
     batch_size = args.batch_size or tcfg.batch_size
     seq_len = args.seq_len or tcfg.seq_len
@@ -321,6 +386,13 @@ def cmd_evaluate(args):
         kwargs = {}
         if cond is not None:
             kwargs["cond"] = cond
+        elif joint_encoder is not None and exp.model.cond_dim:
+            # --joint checkpoint: conditioning comes from the adapted
+            # encoder over the batch waveform, as in training
+            from samplernn_pase_tpu.train.joint import joint_cond
+            kwargs["cond"], _ = joint_cond(
+                joint_encoder[0], joint_encoder[1], exp.model,
+                exp.pase, chunk.inputs, train=False)
         if exp.model.n_speakers and chunk.speakers is not None:
             kwargs["speakers"] = chunk.speakers
         hiddens, nll = step(params, hiddens, chunk.inputs, chunk.targets,
@@ -367,6 +439,9 @@ def main(argv=None):
     pe.add_argument("--dataset", required=True)
     pe.add_argument("--out", required=True)
     pe.add_argument("--pase-ckpt", dest="pase_ckpt")
+    pe.add_argument("--ckpt",
+                    help="`train --joint` experiment dir: use its "
+                         "adapted encoder instead of --pase-ckpt")
     pe.add_argument("--batch_size", type=int)
     pe.set_defaults(fn=cmd_extract)
 
@@ -378,6 +453,13 @@ def main(argv=None):
     pg.add_argument("--temperature", type=float)
     pg.add_argument("--seed", type=int)
     pg.add_argument("--cond", help=".npy PASE embedding for TTS")
+    pg.add_argument("--cond-wav", dest="cond_wav",
+                    help="condition on this wav's PASE embedding "
+                         "(uses the joint ckpt's encoder when present, "
+                         "else --pase-ckpt)")
+    pg.add_argument("--pase-ckpt", dest="pase_ckpt",
+                    help="torch PASE ckpt for --cond-wav on non-joint "
+                         "experiments")
     pg.add_argument("--speaker", type=int,
                     help="speaker id (models trained with n_speakers)")
     pg.add_argument("--seed-wav", dest="seed_wav",

@@ -215,3 +215,51 @@ def test_cli_generate_best_and_step_flags(wav_dir, tmp_path):
               "--n_seqs", "1", "--length", "64", "--temperature", "0",
               "--step", str(steps[0])])
     assert len(list(out2.glob("*.wav"))) == 1
+
+
+def test_cli_joint_synthesis_workflow(wav_dir, tmp_path):
+    """A `train --joint` experiment must be usable end-to-end: generate
+    conditioned on a wav via the adapted encoder (--cond-wav), extract
+    embeddings with that encoder (--ckpt), and evaluate (conditioning
+    recomputed from the batch waveform as in training)."""
+    import io
+    import sys as _sys
+
+    from samplernn_pase_tpu import cli
+    exp = tmp_path / "exp_joint"
+    cli.main([
+        "train", "--joint", "--dataset", str(wav_dir),
+        "--exp-dir", str(exp),
+        "--frame_sizes", "4", "2", "--dim", "16", "--embed_dim", "8",
+        "--batch_size", "2", "--seq_len", "320", "--epochs", "1",
+    ])
+
+    out = tmp_path / "gen_joint"
+    seed = sorted(wav_dir.glob("*.wav"))[0]
+    cli.main(["generate", "--ckpt", str(exp), "--out", str(out),
+              "--n_seqs", "1", "--length", "320", "--temperature", "0.9",
+              "--cond-wav", str(seed)])
+    wavs = sorted(out.glob("*.wav"))
+    assert len(wavs) == 1
+    y, _ = read_wav(wavs[0])
+    assert len(y) == 320 and np.isfinite(y).all()
+
+    emb_out = tmp_path / "emb_joint"
+    cli.main(["extract", "--dataset", str(wav_dir), "--out",
+              str(emb_out), "--ckpt", str(exp), "--batch_size", "2"])
+    embs = sorted(emb_out.glob("*.npy"))
+    assert len(embs) == 3
+    cfgj = json.loads((exp / "config.json").read_text())
+    assert np.load(embs[0]).shape[1] == cfgj["model"]["cond_dim"]
+
+    buf = io.StringIO()
+    stdout = _sys.stdout
+    _sys.stdout = buf
+    try:
+        cli.main(["evaluate", "--ckpt", str(exp), "--dataset",
+                  str(wav_dir), "--split", "val", "--batch_size", "2",
+                  "--seq_len", "320"])
+    finally:
+        _sys.stdout = stdout
+    rep = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert np.isfinite(rep["nll_bits"]) and rep["batches"] > 0
