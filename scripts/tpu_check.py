@@ -118,9 +118,14 @@ def main():
     # hardware: same math, different residency (any mismatch = a DMA
     # ordering bug in the scratch-slot reuse)
     from samplernn_pase_tpu.ops.pallas.megagen import generate_full_pallas
-    for rt, fs in (("gru", (16, 4)), ("lstm", (16, 4, 4))):
-        cfgS = SampleRNNConfig(frame_sizes=fs, dim=128, embed_dim=32,
-                               rnn_type=rt, compute_dtype="float32")
+    for rt, fs, dt in (("gru", (16, 4), "float32"),
+                       ("lstm", (16, 4, 4), "float32"),
+                       # bf16 = fused-embed one-hot slots + RING window
+                       # + streamed top tier: the exact combination the
+                       # full-size config-2 run uses on hardware
+                       ("lstm", (16, 4, 4), "bfloat16")):
+        cfgS = SampleRNNConfig(frame_sizes=fs, dim=128, embed_dim=256,
+                               rnn_type=rt, compute_dtype=dt)
         pS = samplernn.init_params(jax.random.PRNGKey(4), cfgS)
         winS = jnp.full((4, cfgS.lookback), quantize_zero(cfgS.q_levels),
                         jnp.int32)
@@ -131,10 +136,10 @@ def main():
                 winS, tuple(stS), 0.0, jnp.int32(0),
                 list(pS["tiers"]), pS["mlp"], n_top=4,
                 q_levels=256, deterministic=True, rnn_type=rt,
-                weights_dtype="float32", stream_top=stream)
+                weights_dtype=dt, stream_top=stream)
             outS[stream] = (np.asarray(s), [np.asarray(f) for f in fin])
         eq = (outS[False][0] == outS[True][0]).mean()
-        print(f"stream_top {rt} vs resident agreement (f32): {eq:.4f}")
+        print(f"stream_top {rt} {dt} vs resident agreement: {eq:.4f}")
         assert eq == 1.0, eq
         for a, b_ in zip(outS[False][1], outS[True][1]):
             np.testing.assert_array_equal(a, b_)

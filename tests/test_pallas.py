@@ -369,3 +369,29 @@ def test_megakernel_stream_top_conditioned_matches_resident():
     np.testing.assert_array_equal(outs[False][0], outs[True][0])
     for a, b_ in zip(outs[False][1], outs[True][1]):
         np.testing.assert_array_equal(a, b_)
+
+
+def test_megakernel_stream_top_ring_buffer_matches_resident():
+    """stream_top combined with the RING-buffered window (slot width a
+    multiple of 128 — the combination the full-size config-2 run uses):
+    bit-identical to the resident form."""
+    from samplernn_pase_tpu.ops.pallas.megagen import generate_full_pallas
+
+    cfg = SampleRNNConfig(frame_sizes=(4, 2, 2), dim=128, embed_dim=128,
+                          rnn_type="lstm", compute_dtype="float32")
+    params = samplernn.init_params(jax.random.PRNGKey(15), cfg)
+    rng = np.random.default_rng(6)
+    window = jnp.asarray(rng.integers(0, 256, (2, cfg.lookback), np.int32))
+    states = samplernn.initial_state(params, cfg, 2)
+    outs = {}
+    for stream in (False, True):
+        s, fin = generate_full_pallas(
+            window, tuple(states), 0.0, jnp.int32(0),
+            list(params["tiers"]), params["mlp"], n_top=3,
+            q_levels=256, deterministic=True, interpret=True,
+            rnn_type="lstm", weights_dtype="float32",
+            stream_top=stream)
+        outs[stream] = (np.asarray(s), [np.asarray(f) for f in fin])
+    np.testing.assert_array_equal(outs[False][0], outs[True][0])
+    for a, b_ in zip(outs[False][1], outs[True][1]):
+        np.testing.assert_array_equal(a, b_)
