@@ -188,7 +188,9 @@ def cmd_extract(args):
         mgr = CheckpointManager(exp_dir / "ckpt")
         restored = mgr.restore()
         mgr.close()
-        payload = None if restored is None else restored["params"]
+        if restored is None:
+            sys.exit(f"no checkpoint under {exp_dir}/ckpt")
+        payload = restored["params"]
         if not (isinstance(payload, dict) and "joint" in payload):
             sys.exit(f"{exp_dir} is not a --joint experiment checkpoint")
         cfg = exp.pase or cfg
@@ -293,6 +295,14 @@ def cmd_generate(args):
             sys.exit(f"--cond{'-wav' if args.cond_wav else ''}: expected "
                      f"[frames, {exp.model.cond_dim}] embedding, got "
                      f"{emb.shape}")
+        # clamp-extend to cover the full generation (as GeneratorPlugin
+        # does): a stream shorter than length/cond_rate would otherwise
+        # leave later megakernel chunks with an empty cond slice
+        need = -(-length // exp.model.cond_rate)
+        if emb.shape[0] < need:
+            emb = np.concatenate(
+                [emb, np.broadcast_to(
+                    emb[-1:], (need - emb.shape[0], emb.shape[1]))])
         cond = np.broadcast_to(emb[None], (n, *emb.shape))
     speakers = None
     if args.speaker is not None:
@@ -306,16 +316,40 @@ def cmd_generate(args):
     prime_kw = {}
     if args.seed_wav:
         # audio continuation: warm the decoder state on a seed waveform
-        # so the generated audio carries on from it (generate.prime)
+        # so the generated audio carries on from it (generate.prime).
+        # One lane is primed and the result broadcast to all n — the
+        # lanes start identical and diverge through sampling.
+        import jax.numpy as jnp
         from samplernn_pase_tpu.data.dataset import _quantize_host
         from samplernn_pase_tpu.ops.audio_io import read_wav, resample
         x, sr = read_wav(args.seed_wav)
         if sr != gcfg.sample_rate:
             x = resample(x, sr, gcfg.sample_rate)
         seed_lv = _quantize_host(x, exp.model.q_levels, exp.model.codec)
-        seed_lv = np.broadcast_to(seed_lv[None], (n, len(seed_lv)))
-        states, hist = gen.prime(params, exp.model, seed_lv,
-                                 speakers=speakers)
+        prime_cond = None
+        if exp.model.cond_dim:
+            if joint_encoder is not None or args.pase_ckpt:
+                # warm the state under the SEED's own conditioning, as
+                # teacher forcing during training would have
+                pc = np.asarray(_embed_wav(
+                    args.seed_wav, exp.pase or C.PASEConfig(),
+                    joint_encoder, args.pase_ckpt))
+                prime_cond = pc[None]
+            elif cond is not None:
+                # generation is conditioned but the seed can't be
+                # embedded — the warmed state won't see conditioning
+                print("[warn] --seed-wav: no PASE encoder available to "
+                      "embed the seed (pass --pase-ckpt); priming "
+                      "without external conditioning", file=sys.stderr)
+            # speakers-only models need no stream: the learned speaker
+            # embedding rides in via the speakers argument below
+        states, hist = gen.prime(
+            params, exp.model, seed_lv[None], cond=prime_cond,
+            speakers=None if speakers is None else speakers[:1])
+        states = tuple(
+            jnp.broadcast_to(s, (*s.shape[:-2], n, s.shape[-1]))
+            for s in states)
+        hist = jnp.broadcast_to(hist, (n, hist.shape[1]))
         prime_kw = {"initial_states": states, "hist": hist}
         print(f"[generate] primed on {len(x)} seed samples from "
               f"{args.seed_wav}", file=sys.stderr)
@@ -344,7 +378,12 @@ def _pick_step(args, mgr):
     if getattr(args, "step", None) is not None:
         return args.step
     if getattr(args, "best", False):
-        return mgr.best_step()
+        step = mgr.best_step(strict=True)
+        if step is None:
+            print("[warn] --best: no checkpoint has a recorded val NLL "
+                  "(no held-out split?); using the latest step instead",
+                  file=sys.stderr)
+        return step      # None -> restore() uses the latest step
     return None          # restore() defaults to the latest step
 
 
@@ -373,6 +412,23 @@ def cmd_evaluate(args):
         codec=exp.model.codec, sample_rate=tcfg.sample_rate)
     held_out = bool({"val": corpus.val_idx,
                      "test": corpus.test_idx}.get(args.split))
+    # what conditioning the eval actually uses — a cond_dim model
+    # evaluated with NONE (forgotten --cond-dir) reports a misleading
+    # NLL, so tag it and warn
+    if not exp.model.cond_dim:
+        conditioning = "none"
+    elif corpus.conditioning is not None:
+        conditioning = "cached"
+    elif joint_encoder is not None:
+        conditioning = "joint"
+    elif exp.model.n_speakers:
+        conditioning = "speaker-only"
+    else:
+        conditioning = "MISSING"
+        print("[warn] model was trained with conditioning "
+              "(cond_dim set) but no source is available — pass "
+              "--cond-dir; this NLL is for UNCONDITIONED inputs",
+              file=sys.stderr)
     step = make_eval_step(exp.model)
     hiddens = samplernn.initial_state(params, exp.model, batch_size)
     total, n_batches = 0.0, 0
@@ -400,13 +456,16 @@ def cmd_evaluate(args):
         total += float(nll)
         n_batches += 1
     mgr.close()
-    print(json.dumps({
+    out = {
         "split": args.split,
         "nll_bits": round(total / max(n_batches, 1), 6),
         "batches": n_batches,
         "held_out": held_out,   # False = split was empty, train fallback
         "step": int(restored["step"]),
-    }))
+    }
+    if exp.model.cond_dim:
+        out["conditioning"] = conditioning
+    print(json.dumps(out))
 
 
 def main(argv=None):

@@ -263,7 +263,7 @@ def _generate_full(params, cfg, n_seqs, length, temperature, key, hist,
     if stream_top:
         big, scratch = _stream_top_bytes(cfg)
         wb_eff = wb_eff - big + scratch
-    avail = (112 << 20) - wb_eff - _kernel_scratch_bytes(cfg, n_seqs)
+    avail = _VMEM_CAP - wb_eff - _kernel_scratch_bytes(cfg, n_seqs)
     # per-top-frame VMEM: the int32 output block, plus (conditioned) the
     # f32 cond rows that cover one lookback span across all tiers
     per_top = float(n_seqs * lookback * 4)
@@ -390,7 +390,8 @@ def generate_levels(params, cfg: SampleRNNConfig, n_seqs: int, length: int,
     return levels[:, :length]
 
 
-def prime(params, cfg: SampleRNNConfig, levels, cond=None, speakers=None):
+def prime(params, cfg: SampleRNNConfig, levels, cond=None, speakers=None,
+          max_context: int = 32_768):
     """Warm the decoder state from a seed waveform (audio continuation).
 
     Runs the teacher-forced forward pass over the tail of ``levels``
@@ -402,6 +403,11 @@ def prime(params, cfg: SampleRNNConfig, levels, cond=None, speakers=None):
     zeros. ``cond`` rows (if given) follow the corpus convention (row r
     covers seed samples [r*cond_rate, (r+1)*cond_rate)); the priming
     span is the seed tail, so rows align to within one cond frame.
+
+    ``max_context`` bounds the teacher-forced span (the forward pass
+    materializes [B, T, q_levels] logits, so an unbounded minutes-long
+    seed would OOM); 2 s of 16 kHz audio is far past where TBPTT state
+    saturates. Pass None to warm on the whole seed.
     """
     levels = jnp.asarray(levels, jnp.int32)
     b, total = levels.shape
@@ -414,6 +420,8 @@ def prime(params, cfg: SampleRNNConfig, levels, cond=None, speakers=None):
         return states, hist
     # largest tail slice usable as [lookback context + T, T % lookback == 0]
     t = (total - lookback) // lookback * lookback
+    if max_context is not None:
+        t = min(t, max(max_context // lookback, 1) * lookback)
     hist = levels[:, total - lookback:]
     if t <= 0:
         return states, hist

@@ -64,8 +64,11 @@ class CheckpointManager:
             metrics=metrics or {},
         )
 
-    def best_step(self):
-        """Step with the lowest recorded val_nll_bits; latest if none."""
+    def best_step(self, strict: bool = False):
+        """Step with the lowest recorded val_nll_bits. With no recorded
+        val metric anywhere (e.g. the corpus had no held-out split):
+        ``strict=True`` returns None so callers can warn; the default
+        falls back to the latest step."""
         best, best_v = None, float("inf")
         for s in self.mgr.all_steps():
             try:
@@ -75,7 +78,9 @@ class CheckpointManager:
             v = (m or {}).get("val_nll_bits")
             if v is not None and float(v) < best_v:
                 best, best_v = s, float(v)
-        return best if best is not None else self.mgr.latest_step()
+        if best is not None:
+            return best
+        return None if strict else self.mgr.latest_step()
 
     def _np_template(self, step: int):
         """Host-numpy template built from the checkpoint's own metadata.

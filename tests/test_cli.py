@@ -203,7 +203,7 @@ def test_cli_generate_best_and_step_flags(wav_dir, tmp_path):
     ])
     from samplernn_pase_tpu.train.checkpoint import CheckpointManager
     mgr = CheckpointManager(exp / "ckpt")
-    steps = sorted({mgr.latest_step(), mgr.best_step()})
+    steps = sorted({mgr.latest_step(), mgr.best_step()} - {None})
     mgr.close()
     out = tmp_path / "gen_best"
     cli.main(["generate", "--ckpt", str(exp), "--out", str(out),
@@ -263,3 +263,26 @@ def test_cli_joint_synthesis_workflow(wav_dir, tmp_path):
         _sys.stdout = stdout
     rep = json.loads(buf.getvalue().strip().splitlines()[-1])
     assert np.isfinite(rep["nll_bits"]) and rep["batches"] > 0
+
+
+def test_cli_generate_short_cond_stream_is_clamp_extended(wav_dir,
+                                                          tmp_path):
+    """A --cond stream shorter than length/cond_rate must be
+    clamp-extended (last row held), not crash mid-generation."""
+    from samplernn_pase_tpu import cli
+    exp = tmp_path / "exp_c"
+    cli.main([
+        "train", "--dataset", str(wav_dir), "--exp-dir", str(exp),
+        "--frame_sizes", "4", "2", "--dim", "16", "--embed_dim", "8",
+        "--cond_dim", "6", "--cond_rate", "32",
+        "--batch_size", "2", "--seq_len", "256", "--epochs", "1",
+    ])
+    short = tmp_path / "short.npy"
+    np.save(short, np.random.default_rng(0).normal(
+        size=(2, 6)).astype(np.float32))   # 2 rows < 512/32 = 16 needed
+    out = tmp_path / "gen_short_cond"
+    cli.main(["generate", "--ckpt", str(exp), "--out", str(out),
+              "--n_seqs", "1", "--length", "512", "--temperature", "0.9",
+              "--cond", str(short)])
+    y, _ = read_wav(sorted(out.glob("*.wav"))[0])
+    assert len(y) == 512 and np.isfinite(y).all()

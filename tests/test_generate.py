@@ -190,3 +190,23 @@ def test_generate_q_levels_512():
     logits, _ = samplernn.forward(params, cfg, inputs, state)
     np.testing.assert_array_equal(
         np.asarray(jnp.argmax(logits, axis=-1)), np.asarray(levels))
+
+
+def test_prime_max_context_bounds_warmup():
+    """prime(max_context=K) warms on at most K tail samples (the CLI
+    primes minutes-long seeds; unbounded teacher forcing would
+    materialize [B, T, q] logits and OOM)."""
+    params = samplernn.init_params(jax.random.PRNGKey(0), CFG)
+    rng = np.random.default_rng(9)
+    lb = CFG.lookback
+    seed = jnp.asarray(rng.integers(0, 256, (1, lb * 10)), jnp.int32)
+    cap = 2 * lb
+    states, hist = gen.prime(params, CFG, seed, max_context=cap)
+    # oracle: forward over ONLY the capped tail
+    inputs = seed[:, -(lb + cap):]
+    s0 = samplernn.initial_state(params, CFG, 1)
+    _, expect = samplernn.forward(params, CFG, inputs, s0)
+    for got, exp in zip(states, expect):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(exp),
+                                   atol=1e-6)
+    np.testing.assert_array_equal(hist, seed[:, -lb:])
