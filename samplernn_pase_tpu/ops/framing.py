@@ -99,7 +99,11 @@ class StreamBatcher:
         if conditioning is not None and len(conditioning) != len(utterances):
             raise ValueError("one conditioning array per utterance required")
         if conditioning is not None and (cond_rate is None or seq_len % cond_rate):
-            raise ValueError("cond_rate must divide seq_len")
+            raise ValueError(
+                f"cond_rate must divide seq_len: seq_len={seq_len}, "
+                f"cond_rate={cond_rate} — pick seq_len a multiple of "
+                f"lcm(cond_rate, lookback), e.g. "
+                f"{(-(-seq_len // (cond_rate or 1))) * (cond_rate or 1)}")
         self.batch_size = batch_size
         self.seq_len = seq_len
         self.overlap = overlap
