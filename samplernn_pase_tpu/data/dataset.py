@@ -73,8 +73,12 @@ class WavCorpus:
                 self.test_idx.append(i)
             else:
                 self.train_idx.append(i)
-        if not self.train_idx:  # tiny corpora: train on everything
+        if not self.train_idx:  # tiny corpora: train on everything —
+            # and the "held-out" splits are then train data, so clear
+            # them (has_val must not report a real split; the batcher's
+            # explicit train-fallback warning fires instead)
             self.train_idx = list(range(len(self.names)))
+            self.val_idx, self.test_idx = [], []
 
     @classmethod
     def from_folder(cls, path, q_levels: int = 256, val_frac: float = 0.1,

@@ -75,7 +75,14 @@ def _load():
     return _lib
 
 
-def available() -> bool:
+def available(build: bool = True) -> bool:
+    """True when the native library is loadable. ``build=False`` only
+    probes for an already-built (or already-loaded) .so — hot paths that
+    merely PREFER the native fast path (StreamBatcher's window gather)
+    must not block their first call on a `make` subprocess."""
+    if not build:
+        return _lib is not None or (
+            not _tried and _LIB_PATH.exists() and available())
     return _load() is not None
 
 

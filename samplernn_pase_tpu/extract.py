@@ -68,9 +68,7 @@ def extract_to_dir(params, bn_state, cfg: PASEConfig, wav_dir, out_dir,
     wav_dir, not the bare stem), so speaker/utt.wav layouts with
     duplicate stems across speaker dirs never overwrite each other and
     WavCorpus.from_folder(cond_dir=...) pairs the right arrays."""
-    from samplernn_pase_tpu.ops.audio_io import read_wav
-
-    from samplernn_pase_tpu.ops.audio_io import resample
+    from samplernn_pase_tpu.ops.audio_io import read_wav, resample
 
     wav_dir, out_dir = Path(wav_dir), Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)

@@ -98,12 +98,16 @@ class StreamBatcher:
     ):
         if conditioning is not None and len(conditioning) != len(utterances):
             raise ValueError("one conditioning array per utterance required")
-        if conditioning is not None and (cond_rate is None or seq_len % cond_rate):
+        if conditioning is not None and cond_rate is None:
+            raise ValueError("conditioning requires cond_rate")
+        if conditioning is not None and seq_len % cond_rate:
+            import math
+            step = math.lcm(cond_rate, max(overlap, 1))
             raise ValueError(
                 f"cond_rate must divide seq_len: seq_len={seq_len}, "
-                f"cond_rate={cond_rate} — pick seq_len a multiple of "
-                f"lcm(cond_rate, lookback), e.g. "
-                f"{(-(-seq_len // (cond_rate or 1))) * (cond_rate or 1)}")
+                f"cond_rate={cond_rate} — pick a multiple of "
+                f"lcm(cond_rate, lookback)={step}, e.g. "
+                f"{-(-seq_len // step) * step}")
         self.batch_size = batch_size
         self.seq_len = seq_len
         self.overlap = overlap
@@ -167,8 +171,12 @@ class StreamBatcher:
         # hot path: one native memcpy-gather per step instead of a
         # 128-lane Python np.stack; targets are a zero-copy view of the
         # gathered inputs (they are inputs shifted by `overlap`)
+        # build=False: use the native gather when the .so is already
+        # there, but never block the first batch on a `make` subprocess
+        # (corpora that never touched the native decoder, e.g. synthetic)
         addrs = (self._window_addrs(n_steps)
-                 if n_steps and native_loader.available() else None)
+                 if n_steps and native_loader.available(build=False)
+                 else None)
         for k in range(n_steps):
             if addrs is not None:
                 inputs = native_loader.gather_windows(addrs[k], w)

@@ -222,12 +222,18 @@ class GeneratorPlugin(Plugin):
         if speakers is not None:
             n = len(speakers)
         if cond is not None:
+            if speakers is not None and len(speakers) != cond.shape[0]:
+                raise ValueError(
+                    f"GeneratorPlugin: {len(speakers)} speaker ids but "
+                    f"{cond.shape[0]} conditioning sequences")
             n = cond.shape[0]
             need = -(-self.length // cfg.cond_rate)
             if cond.shape[1] < need:   # clamp-extend the stream
                 pad = np.broadcast_to(
                     cond[:, -1:], (n, need - cond.shape[1], cond.shape[2]))
                 cond = np.concatenate([cond, pad], axis=1)
+            cond = cond[:, :need]      # and trim a too-long one (a full
+            # utterance stream vs speaker_cond's [n, need, D] broadcast)
         if speakers is None and cfg.n_speakers:
             # n_speakers models ALWAYS add the learned speaker embedding
             # onto the conditioning during training (speaker_cond), so
@@ -371,8 +377,12 @@ class Trainer:
                 if len(group) == k_call:
                     self._run_group(group, samples_per_chunk)
                     group = []
-            if group:
-                self._run_group(group, samples_per_chunk)
+            # epoch tail smaller than steps_per_call: run it through the
+            # single-step path — a [r, B, ...] staged scan would be a new
+            # jit signature and recompile the whole step program per
+            # distinct tail size
+            for it in group:
+                self._run_group([it], samples_per_chunk)
             skip_until = -1
             for p in self.plugins:
                 p.on_epoch_end(self, epoch)

@@ -222,7 +222,8 @@ def test_streambatcher_native_gather_matches_python(monkeypatch):
 
     def batches(force_python):
         if force_python:
-            monkeypatch.setattr(native_loader, "available", lambda: False)
+            monkeypatch.setattr(native_loader, "available",
+                                lambda build=True: False)
         else:
             monkeypatch.undo()
         sb = StreamBatcher(utts, batch_size=3, seq_len=128, overlap=8,

@@ -111,6 +111,10 @@ def test_steps_per_call_matches_single_step():
     got_nlls, got_p, got_h, got_n = train(4)   # 5 chunks: 4 + trailing 1
     assert ref_n == got_n
     assert ref_nlls == got_nlls
+    # trailing group of size 2 (5 = 3 + 2): runs via the single-step
+    # path (a [2, B, ...] staged scan would be a fresh jit signature)
+    tail2_nlls, *_, tail2_n = train(3)
+    assert tail2_n == ref_n and tail2_nlls == ref_nlls
     for a, b in zip(jax.tree.leaves(ref_p), jax.tree.leaves(got_p)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-6)
