@@ -468,6 +468,16 @@ class StreamingGenerator:
         self.hist = jnp.full((n_seqs, cfg.lookback),
                              quantize_zero(cfg.q_levels), jnp.int32)
 
+    def prime(self, levels, cond=None, speakers=None,
+              max_context: int = 32_768):
+        """Warm this stream's state on a seed waveform (levels
+        [n_seqs, L] int32) so subsequent emit() calls continue it —
+        the serving-side form of :func:`prime`."""
+        self.states, self.hist = prime(
+            self.params, self.cfg, levels, cond=cond, speakers=speakers,
+            max_context=max_context)
+        return self
+
     def emit(self, n_samples: int, cond=None, speakers=None):
         """Generate the next n_samples levels [n_seqs, n_samples]."""
         if n_samples % self.cfg.lookback:

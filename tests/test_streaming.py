@@ -3,6 +3,7 @@
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 import pytest
 
 from samplernn_pase_tpu.config import SampleRNNConfig
@@ -42,3 +43,23 @@ def test_streaming_waveform_range():
     # sampling continues (different chunks differ)
     w2 = np.asarray(sg.emit_waveform(CFG.lookback * 2))
     assert not np.array_equal(w, w2)
+
+def test_streaming_prime_continues_seed():
+    """A primed StreamingGenerator must emit exactly what a one-shot
+    seeded generation produces (greedy): serving-side continuation is
+    state-consistent with the batch path."""
+    params = samplernn.init_params(jax.random.PRNGKey(0), CFG)
+    rng = np.random.default_rng(4)
+    lb = CFG.lookback
+    seed = jnp.asarray(rng.integers(0, 256, (2, lb * 4)), jnp.int32)
+
+    sg = gen.StreamingGenerator(params, CFG, 2, temperature=None)
+    sg.prime(seed)
+    streamed = np.concatenate(
+        [np.asarray(sg.emit(lb * 2)) for _ in range(2)], axis=1)
+
+    states, hist = gen.prime(params, CFG, seed)
+    oneshot = np.asarray(gen.generate_levels(
+        params, CFG, 2, lb * 4, temperature=None,
+        initial_states=states, hist=hist))
+    np.testing.assert_array_equal(streamed, oneshot)
