@@ -40,20 +40,29 @@ def _open():
         return None
 
 
-def _load():
-    global _lib, _tried
-    if _lib is not None or _tried:
-        return _lib
-    _tried = True
-    lib = _open() if _LIB_PATH.exists() else None
-    if lib is None:
-        # missing or stale (predates the current symbol set): rebuild
-        _LIB_PATH.unlink(missing_ok=True)
-        if not _build():
-            return None
-        lib = _open()
-    if lib is None:
+def _open_fresh():
+    """Open the just-rebuilt .so. dlopen caches by path: if a STALE
+    mapping of _LIB_PATH is already loaded in this process (the probe
+    that triggered the rebuild), re-opening the same path returns the
+    old handle — load a uniquely-named copy instead."""
+    lib = _open()
+    if lib is not None:
+        return lib
+    import os
+    import shutil
+    import tempfile
+    try:
+        tmp = (Path(tempfile.mkdtemp(prefix="srnn_native_"))
+               / f"libsrnn_native_{os.getpid()}.so")
+        shutil.copy2(_LIB_PATH, tmp)
+        lib = ctypes.CDLL(str(tmp))
+        lib.srnn_gather_windows
+        return lib
+    except (OSError, AttributeError):
         return None
+
+
+def _register(lib):
     lib.srnn_mulaw_encode.argtypes = [
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
         ctypes.c_int64, ctypes.c_int32]
@@ -71,18 +80,47 @@ def _load():
     lib.srnn_gather_windows.argtypes = [
         ctypes.POINTER(ctypes.c_int64), ctypes.c_int32, ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int32)]
+
+
+def _load():
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    lib = _open() if _LIB_PATH.exists() else None
+    if lib is None:
+        # missing or stale (predates the current symbol set): rebuild
+        _LIB_PATH.unlink(missing_ok=True)
+        if not _build():
+            return None
+        lib = _open_fresh()
+    if lib is None:
+        return None
+    _register(lib)
     _lib = lib
     return _lib
 
 
 def available(build: bool = True) -> bool:
-    """True when the native library is loadable. ``build=False`` only
-    probes for an already-built (or already-loaded) .so — hot paths that
-    merely PREFER the native fast path (StreamBatcher's window gather)
-    must not block their first call on a `make` subprocess."""
+    """True when the native library is loadable. ``build=False`` NEVER
+    runs `make` — hot paths that merely PREFER the native fast path
+    (StreamBatcher's window gather) must not block their first call on
+    a build subprocess. A healthy prebuilt .so is still picked up (and
+    registered) on this path; a stale/corrupt one is left for a later
+    ``build=True`` call to rebuild."""
+    global _lib, _tried
     if not build:
-        return _lib is not None or (
-            not _tried and _LIB_PATH.exists() and available())
+        if _lib is not None or _tried:
+            return _lib is not None
+        if not _LIB_PATH.exists():
+            return False
+        lib = _open()
+        if lib is None:
+            return False     # stale/corrupt: keep _tried False so a
+                             # build=True call can still rebuild
+        _register(lib)
+        _lib, _tried = lib, True
+        return True
     return _load() is not None
 
 
