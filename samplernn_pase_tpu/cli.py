@@ -94,37 +94,25 @@ def cmd_train(args):
         print("[train] no --dataset; using synthetic corpus", file=sys.stderr)
         corpus = synthetic_corpus(q_levels=exp.model.q_levels)
 
+    joint_kwargs = {}
     if args.joint:
-        # end-to-end PASE + SampleRNN (BASELINE config 4 strict form)
-        from samplernn_pase_tpu.train import joint as J
+        # end-to-end PASE + SampleRNN (BASELINE config 4 strict form):
+        # same plugin loop as plain training — validation, checkpoint
+        # cadence + --resume, conditioned generation artifacts,
+        # steps_per_call, mesh (SURVEY.md §2 C14)
         pase_cfg = exp.pase or C.PASEConfig()
         model = exp.model
         if not model.cond_dim:
             model = dc.replace(model, cond_dim=pase_cfg.emb_dim,
                                cond_rate=pase_cfg.decimation)
         exp = dc.replace(exp, model=model, pase=pase_cfg)
-        exp_dir = Path(tcfg.exp_dir)
-        exp_dir.mkdir(parents=True, exist_ok=True)
-        (exp_dir / "config.json").write_text(C.to_json(exp))
-        writer = MetricsWriter(exp_dir / "metrics.jsonl")
         pase_params = bn_state = None
         if args.pase_ckpt:
             from samplernn_pase_tpu.models import pase as pase_mod
             pase_params, bn_state, _ = pase_mod.load_torch_pase(
                 args.pase_ckpt, pase_cfg)
-        params, bn_state, losses = J.run_joint_training(
-            model, pase_cfg, tcfg, corpus, writer,
-            epochs=args.epochs if args.epochs is not None else tcfg.epochs,
-            freeze_pase=args.freeze_pase,
-            pase_params=pase_params, bn_state=bn_state)
-        mgr = CheckpointManager(exp_dir / "ckpt", tcfg.max_to_keep)
-        mgr.save(len(losses), {"joint": params, "bn": bn_state})
-        mgr.wait()
-        mgr.close()
-        writer.close()
-        print(f"[train --joint] {len(losses)} steps, final nll "
-              f"{losses[-1]:.3f} bits", file=sys.stderr)
-        return
+        joint_kwargs = dict(freeze_pase=args.freeze_pase,
+                            pase_params=pase_params, bn_state=bn_state)
 
     exp_dir = Path(tcfg.exp_dir)
     exp_dir.mkdir(parents=True, exist_ok=True)
@@ -161,7 +149,12 @@ def cmd_train(args):
             exp_dir / "samples", tcfg.generate_every_steps,
             length=tcfg.generate_length, sample_rate=tcfg.sample_rate,
             **gen_kw))
-    t = tr.Trainer(exp.model, tcfg, corpus, plugins, mesh=mesh)
+    if args.joint:
+        from samplernn_pase_tpu.train.joint import JointTrainer
+        t = JointTrainer(exp.model, exp.pase, tcfg, corpus, plugins,
+                         mesh=mesh, **joint_kwargs)
+    else:
+        t = tr.Trainer(exp.model, tcfg, corpus, plugins, mesh=mesh)
     if args.resume:
         if t.restore(mgr):
             print(f"[train] resumed at step {t.global_step}",
@@ -303,6 +296,11 @@ def cmd_generate(args):
             emb = np.concatenate(
                 [emb, np.broadcast_to(
                     emb[-1:], (need - emb.shape[0], emb.shape[1]))])
+        # ... and trim a longer one (a full-utterance stream): generation
+        # reads only `need` rows, and speaker_cond broadcasts the speaker
+        # embedding over exactly [n, need, D] (GeneratorPlugin does the
+        # same trim)
+        emb = emb[:need]
         cond = np.broadcast_to(emb[None], (n, *emb.shape))
     speakers = None
     if args.speaker is not None:
@@ -412,6 +410,12 @@ def cmd_evaluate(args):
         codec=exp.model.codec, sample_rate=tcfg.sample_rate)
     held_out = bool({"val": corpus.val_idx,
                      "test": corpus.test_idx}.get(args.split))
+    # splits smaller than batch_size recycle utterances into lanes
+    # (dataset.batcher) — the reported NLL then double-counts utterances,
+    # so surface the effective count and a recycled flag alongside it
+    split_idx = ({"train": corpus.train_idx, "val": corpus.val_idx,
+                  "test": corpus.test_idx}[args.split]
+                 or corpus.train_idx)
     # what conditioning the eval actually uses — a cond_dim model
     # evaluated with NONE (forgotten --cond-dir) reports a misleading
     # NLL, so tag it and warn
@@ -461,8 +465,12 @@ def cmd_evaluate(args):
         "nll_bits": round(total / max(n_batches, 1), 6),
         "batches": n_batches,
         "held_out": held_out,   # False = split was empty, train fallback
+        "utterances": len(split_idx),
         "step": int(restored["step"]),
     }
+    if len(split_idx) < batch_size:
+        out["recycled"] = True  # utterances repeated across lanes: the
+        # NLL is a biased per-utterance estimate (see batcher recycling)
     if exp.model.cond_dim:
         out["conditioning"] = conditioning
     print(json.dumps(out))

@@ -136,8 +136,16 @@ def _decode_tier(params, cfg, k, hist, states, key, pos, cond, upper_vec,
     return hist, states, key
 
 
+def _wt_itemsize(cfg) -> int:
+    """Bytes/element of the kernel's weight dtype (= cfg.compute_dtype);
+    a float32 model's weights are 2x the bf16 estimate, so the VMEM
+    feasibility math must scale with it."""
+    return jnp.dtype(cfg.compute_dtype).itemsize
+
+
 def _megakernel_weight_bytes(cfg):
-    """bf16 VMEM footprint of the megakernel's resident weights."""
+    """VMEM footprint of the megakernel's resident weights (weight
+    dtype follows cfg.compute_dtype)."""
     h, e, q = cfg.dim, cfg.embed_dim, cfg.q_levels
     gates = 3 if cfg.rnn_type == "gru" else 4
     # fused-embedding mode stores W' = embed @ w_in per slot: [f1*q, h]
@@ -146,7 +154,7 @@ def _megakernel_weight_bytes(cfg):
         total += (cfg.tier_spans[k] * h          # input proj
                   + cfg.n_rnn * 2 * gates * h * h  # w_ih + w_hh per layer
                   + h * f * h)                   # upsample
-    return 2 * total
+    return _wt_itemsize(cfg) * total
 
 
 def _kernel_scratch_bytes(cfg, n_seqs: int) -> int:
@@ -155,16 +163,17 @@ def _kernel_scratch_bytes(cfg, n_seqs: int) -> int:
     slot = max(cfg.embed_dim, cfg.q_levels)
     return (n_seqs * f1 * cfg.dim * 4            # hoisted cond rows
             + f1 * n_seqs * cfg.q_levels * 4     # per-frame gumbel
-            + n_seqs * 2 * f1 * slot * 2)        # one-hot/embed ring
+            + n_seqs * 2 * f1 * slot * _wt_itemsize(cfg))  # embed ring
 
 
 def _stream_top_bytes(cfg):
     """(HBM-streamable top-tier weight bytes, stream scratch bytes)."""
     h = cfg.dim
+    it = _wt_itemsize(cfg)   # stream scratch slot is in weight dtype too
     gates = 3 if cfg.rnn_type == "gru" else 4
     f_top = cfg.frame_sizes[-1]
-    big = 2 * (cfg.n_rnn * 2 * gates * h * h + h * f_top * h)
-    scratch = 2 * h * max(gates, f_top) * h
+    big = it * (cfg.n_rnn * 2 * gates * h * h + h * f_top * h)
+    scratch = it * h * max(gates, f_top) * h
     return big, scratch
 
 
@@ -217,8 +226,10 @@ def _full_kernel_eligible(cfg, cond, use_pallas, temperature, n_seqs):
         return False   # explicit per-frame kernel path
     if use_pallas in (True, "full"):
         return True
-    # interpreter mode lacks the on-core PRNG: greedy only
-    return use_pallas == "interpret" and temperature is None
+    # interpreter mode lacks the on-core PRNG; sampled decode instead
+    # rides on a host-generated per-frame Gumbel buffer (megagen's
+    # host_noise input), so CI covers the temperature>0 path too
+    return use_pallas == "interpret"
 
 
 def _generate_full(params, cfg, n_seqs, length, temperature, key, hist,
@@ -282,6 +293,14 @@ def _generate_full(params, cfg, n_seqs, length, temperature, key, hist,
         seed = jax.random.randint(sub, (), 0, jnp.iinfo(jnp.int32).max,
                                   dtype=jnp.int32)
         cond_kw = {}
+        if interpret and temperature is not None:
+            # no on-core PRNG off-TPU: ship per-bottom-frame Gumbel
+            # noise generated on the host (tiny CI shapes only)
+            f1 = cfg.frame_sizes[0]
+            cond_kw["gumbel"] = jax.random.gumbel(
+                jax.random.fold_in(sub, 1),
+                (step_top * (lookback // f1), f1, n_seqs, cfg.q_levels),
+                jnp.float32)
         if ext_all is not None:
             s0 = done * lookback
             s1 = (done + step_top) * lookback

@@ -196,13 +196,18 @@ def pase_apply(params, bn_state, wav, cfg: PASEConfig, *, train: bool = False):
 
 # --------------------------------------------------- torch ckpt import (C10)
 
-def load_torch_pase(path, cfg: PASEConfig):
+def load_torch_pase(path, cfg: PASEConfig, strict: bool = True):
     """Import upstream PASE encoder weights from a torch checkpoint.
 
     Maps a torch state_dict with SincNet-style keys (low_hz_, band_hz_,
     per-block conv/bn weights) onto our pytree.  Unknown keys are listed in
     the returned report; offline environments without a ckpt use random
     init (SURVEY.md §7 M4).
+
+    ``strict`` (default): raise if the checkpoint yields ZERO tensors or
+    is missing any conv block's weight — a key-layout mismatch must be a
+    hard error, not a silently random-init encoder.  The error message
+    carries the skipped-key report so the actual layout is visible.
     """
     import torch
 
@@ -220,17 +225,43 @@ def load_torch_pase(path, cfg: PASEConfig):
                 return jnp.asarray(sd[n].detach().numpy())
         return None
 
+    def check_shape(name, v, want):
+        if v is not None and tuple(v.shape) != tuple(want):
+            raise ValueError(
+                f"PASE import: {name} has shape {tuple(v.shape)}, "
+                f"config expects {tuple(want)} — checkpoint does not "
+                f"match PASEConfig (cfg.blocks={cfg.blocks})")
+
     low = grab("sinc.low_hz_", "blocks.0.conv.low_hz_")
     band = grab("sinc.band_hz_", "blocks.0.conv.band_hz_")
     if low is not None:
-        params["sinc"]["low_hz"] = low.reshape(-1)
+        low = low.reshape(-1)
+        check_shape("sinc low_hz", low, (cfg.sinc_filters,))
+        params["sinc"]["low_hz"] = low
     if band is not None:
-        params["sinc"]["band_hz"] = band.reshape(-1)
+        band = band.reshape(-1)
+        check_shape("sinc band_hz", band, (cfg.sinc_filters,))
+        params["sinc"]["band_hz"] = band
+    # sinc block's own norm/act (upstream blocks.0.norm / blocks.0.act)
+    for ours, theirs in (("bn_scale", "norm.weight"),
+                         ("bn_bias", "norm.bias"),
+                         ("alpha", "act.weight")):
+        v = grab(f"blocks.0.{theirs}")
+        if v is not None:
+            params["bn_sinc"][ours] = v
+    for ours, theirs in (("mean", "norm.running_mean"),
+                         ("var", "norm.running_var")):
+        v = grab(f"blocks.0.{theirs}")
+        if v is not None:
+            bn_state["sinc"][ours] = v
+    missing_blocks = []
     for i in range(len(cfg.blocks)):
         w = grab(f"blocks.{i + 1}.conv.weight")
         if w is None:
+            missing_blocks.append(i)
             continue
         blk = params["blocks"][i]
+        check_shape(f"blocks.{i + 1}.conv.weight", w, blk["w"].shape)
         blk["w"] = w
         b = grab(f"blocks.{i + 1}.conv.bias")
         if b is not None:
@@ -248,6 +279,84 @@ def load_torch_pase(path, cfg: PASEConfig):
         a = grab(f"blocks.{i + 1}.act.weight")
         if a is not None:
             blk["alpha"] = a
+    # final emb projection (upstream WaveFe's output conv `W`; our
+    # exporter writes the namespaced form)
+    w = grab("W.weight", "proj.conv.weight")
+    if w is not None:
+        check_shape("proj.conv.weight", w, params["proj"]["w"].shape)
+        params["proj"]["w"] = w
+        b = grab("W.bias", "proj.conv.bias")
+        if b is not None:
+            params["proj"]["b"] = b
+        for ours, theirs in (("bn_scale", "proj.norm.weight"),
+                             ("bn_bias", "proj.norm.bias"),
+                             ("alpha", "proj.act.weight")):
+            v = grab(theirs)
+            if v is not None:
+                params["proj"][ours] = v
+        for ours, theirs in (("mean", "proj.norm.running_mean"),
+                             ("var", "proj.norm.running_var")):
+            v = grab(theirs)
+            if v is not None:
+                bn_state["proj"][ours] = v
     report = {"loaded": sorted(used),
-              "skipped": sorted(set(sd) - used)}
+              "skipped": sorted(set(sd) - used),
+              "missing_blocks": missing_blocks}
+    if strict and (not used or missing_blocks):
+        what = ("loaded ZERO tensors" if not used else
+                f"conv blocks {missing_blocks} have no "
+                f"blocks.{{i+1}}.conv.weight key")
+        raise ValueError(
+            f"PASE import from {path}: {what} — the checkpoint's key "
+            f"layout does not match the expected SincNet/WaveFe scheme. "
+            f"Loaded {len(report['loaded'])} keys; skipped keys present "
+            f"in the file: {report['skipped'][:20]}"
+            f"{'...' if len(report['skipped']) > 20 else ''}. "
+            "Pass strict=False to proceed with a partially (or fully) "
+            "random-init encoder.")
     return params, bn_state, report
+
+
+def export_torch_pase(params, bn_state, path=None):
+    """Export our encoder pytree as an upstream-style torch state_dict
+    (the inverse key mapping of :func:`load_torch_pase`) — used by the
+    round-trip import test and for handing adapted encoders back to
+    torch-side tooling.  Returns the state_dict; writes it with
+    ``torch.save`` when ``path`` is given."""
+    import numpy as np
+    import torch
+
+    def t(x):
+        return torch.from_numpy(np.asarray(x, np.float32))
+
+    sd = {
+        # upstream SincConv_fast stores cutoffs as [F, 1]
+        "blocks.0.conv.low_hz_": t(params["sinc"]["low_hz"]).reshape(-1, 1),
+        "blocks.0.conv.band_hz_": t(params["sinc"]["band_hz"]).reshape(-1, 1),
+        "blocks.0.norm.weight": t(params["bn_sinc"]["bn_scale"]),
+        "blocks.0.norm.bias": t(params["bn_sinc"]["bn_bias"]),
+        "blocks.0.norm.running_mean": t(bn_state["sinc"]["mean"]),
+        "blocks.0.norm.running_var": t(bn_state["sinc"]["var"]),
+        "blocks.0.act.weight": t(params["bn_sinc"]["alpha"]),
+    }
+    for i, (blk, st) in enumerate(zip(params["blocks"],
+                                      bn_state["blocks"])):
+        p = f"blocks.{i + 1}"
+        sd[f"{p}.conv.weight"] = t(blk["w"])
+        sd[f"{p}.conv.bias"] = t(blk["b"])
+        sd[f"{p}.norm.weight"] = t(blk["bn_scale"])
+        sd[f"{p}.norm.bias"] = t(blk["bn_bias"])
+        sd[f"{p}.norm.running_mean"] = t(st["mean"])
+        sd[f"{p}.norm.running_var"] = t(st["var"])
+        sd[f"{p}.act.weight"] = t(blk["alpha"])
+    proj, pst = params["proj"], bn_state["proj"]
+    sd["proj.conv.weight"] = t(proj["w"])
+    sd["proj.conv.bias"] = t(proj["b"])
+    sd["proj.norm.weight"] = t(proj["bn_scale"])
+    sd["proj.norm.bias"] = t(proj["bn_bias"])
+    sd["proj.norm.running_mean"] = t(pst["mean"])
+    sd["proj.norm.running_var"] = t(pst["var"])
+    sd["proj.act.weight"] = t(proj["alpha"])
+    if path is not None:
+        torch.save(sd, path)
+    return sd

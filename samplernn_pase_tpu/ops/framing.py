@@ -74,11 +74,22 @@ def chunk_for_tbptt(
 class StreamBatcher:
     """Batch-of-streams TBPTT iterator (C2 + the batch-layout part of C3).
 
-    Concatenates utterances round-robin into ``batch_size`` independent
-    streams, then yields aligned TBPTT chunks: step k of the iterator is
-    chunk k of every lane.  reset[b] is True on the first chunk of each
+    Concatenates utterances into ``batch_size`` independent streams,
+    then yields aligned TBPTT chunks: step k of the iterator is chunk k
+    of every lane.  reset[b] is True on the first chunk of each
     utterance assigned to lane b, so hidden state is zeroed exactly at
     utterance boundaries while carrying across chunks inside an utterance.
+
+    Utterance->lane assignment is LENGTH-BALANCED (greedy bin-packing:
+    longest-first, each onto the currently-shortest lane) because an
+    epoch ends when the shortest lane runs dry — round-robin assignment
+    on an uneven corpus starves every other lane behind one long
+    utterance and silently drops their tails.  For equal-length
+    utterances this reduces exactly to round-robin (the stable sort
+    keeps input order and the min-lane cycles 0..B-1).  Chunk order
+    *within* an utterance stays sequential — the TBPTT state-carry
+    invariant — and which lane an utterance lands on still follows the
+    (possibly shuffled) input order deterministically.
 
     Each utterance is padded on the left with ``overlap`` q_zero samples
     (generation seeds the same way, SURVEY.md §3.2) and on the right up to
@@ -121,11 +132,20 @@ class StreamBatcher:
 
         # lane -> list of (inputs, targets, is_first, cond_chunk, speaker)
         self.lanes: list[list] = [[] for _ in range(batch_size)]
-        for u, utt in enumerate(utterances):
-            lane = u % batch_size
+        # greedy bin-packing: longest-first (stable), onto the lane with
+        # the fewest chunks so far (ties -> lowest lane index)
+        counts = [max(1, int(np.ceil(len(np.asarray(u)) / seq_len)))
+                  for u in utterances]
+        order = sorted(range(len(utterances)), key=lambda u: -counts[u])
+        lane_tot = np.zeros(batch_size, np.int64)
+        self.total_chunks = int(sum(counts))
+        for u in order:
+            utt = utterances[u]
+            lane = int(np.argmin(lane_tot))
+            lane_tot[lane] += counts[u]
             spk = speaker_ids[u] if speaker_ids is not None else 0
             utt = np.asarray(utt)
-            n_chunks = max(1, int(np.ceil(len(utt) / seq_len)))
+            n_chunks = counts[u]
             padded = np.full(overlap + n_chunks * seq_len, q_zero, utt.dtype)
             padded[overlap : overlap + len(utt)] = utt
             cond_frames = None
@@ -147,6 +167,15 @@ class StreamBatcher:
 
     def __len__(self) -> int:
         return min(len(lane) for lane in self.lanes) if self.batch_size else 0
+
+    @property
+    def coverage(self) -> float:
+        """Fraction of the corpus's chunks consumed per epoch: the epoch
+        stops when the shortest lane runs dry, so longer lanes' tails
+        are dropped. Balanced assignment keeps this near 1.0."""
+        if not self.total_chunks:
+            return 1.0
+        return len(self) * self.batch_size / self.total_chunks
 
     def _window_addrs(self, n_steps: int) -> np.ndarray | None:
         """Pre-resolve every (step, lane) window's host address for the

@@ -76,3 +76,69 @@ def test_torch_pase_ckpt_import(tmp_path):
                       jnp.float32)
     emb, _ = P.pase_apply(params, bn_state, wav, cfg, train=False)
     assert emb.shape == (1, 32, 8)
+
+
+def test_torch_pase_import_roundtrip(tmp_path):
+    """C10 hardening: export our params to an upstream-style state_dict
+    and re-import; every mapped tensor must survive bit-exact."""
+    import jax
+    from samplernn_pase_tpu.config import PASEConfig
+    from samplernn_pase_tpu.models import pase as P
+
+    cfg = PASEConfig(sinc_filters=4, sinc_kernel=33,
+                     blocks=((4, 5, 2), (6, 5, 2)), emb_dim=8,
+                     compute_dtype="float32")
+    params, bn_state = P.init_pase(jax.random.PRNGKey(3), cfg)
+    path = tmp_path / "export.ckpt"
+    P.export_torch_pase(params, bn_state, path)
+    p2, bn2, report = P.load_torch_pase(path, cfg)
+    assert not report["skipped"] and not report["missing_blocks"]
+    np.testing.assert_array_equal(np.asarray(p2["sinc"]["low_hz"]),
+                                  np.asarray(params["sinc"]["low_hz"]))
+    for i in range(len(cfg.blocks)):
+        for k in ("w", "b", "bn_scale", "bn_bias", "alpha"):
+            np.testing.assert_array_equal(
+                np.asarray(p2["blocks"][i][k]),
+                np.asarray(params["blocks"][i][k]), err_msg=f"block{i}.{k}")
+        for k in ("mean", "var"):
+            np.testing.assert_array_equal(
+                np.asarray(bn2["blocks"][i][k]),
+                np.asarray(bn_state["blocks"][i][k]))
+    # identical embeddings through the re-imported encoder
+    wav = jnp.asarray(np.random.default_rng(5).normal(size=(1, 128)) * 0.1,
+                      jnp.float32)
+    e1, _ = P.pase_apply(params, bn_state, wav, cfg, train=False)
+    e2, _ = P.pase_apply(p2, bn2, wav, cfg, train=False)
+    np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
+
+
+def test_torch_pase_import_strict_errors(tmp_path):
+    """C10 hardening: zero-tensors-loaded and missing conv blocks are
+    hard errors (not a silent random-init encoder)."""
+    import pytest
+    import torch
+    from samplernn_pase_tpu.config import PASEConfig
+    from samplernn_pase_tpu.models import pase as P
+
+    cfg = PASEConfig(sinc_filters=4, sinc_kernel=33,
+                     blocks=((4, 5, 2), (6, 5, 2)), emb_dim=8,
+                     compute_dtype="float32")
+    # wrong layout entirely -> zero tensors loaded
+    bad = tmp_path / "bad.ckpt"
+    torch.save({"encoder.fe.weight": torch.zeros(3)}, bad)
+    with pytest.raises(ValueError, match="ZERO tensors"):
+        P.load_torch_pase(bad, cfg)
+    # one conv block missing its weight -> hard error naming the block
+    partial = tmp_path / "partial.ckpt"
+    torch.save({"blocks.1.conv.weight": torch.randn(4, 4, 5)}, partial)
+    with pytest.raises(ValueError, match=r"conv blocks \[1\]"):
+        P.load_torch_pase(partial, cfg)
+    # strict=False keeps the old permissive behavior
+    params, _, report = P.load_torch_pase(partial, cfg, strict=False)
+    assert report["missing_blocks"] == [1]
+    # wrong shape is a hard error even when the key layout matches
+    wrong = tmp_path / "wrong.ckpt"
+    torch.save({"blocks.1.conv.weight": torch.randn(9, 4, 5),
+                "blocks.2.conv.weight": torch.randn(6, 9, 5)}, wrong)
+    with pytest.raises(ValueError, match="shape"):
+        P.load_torch_pase(wrong, cfg)

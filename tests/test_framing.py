@@ -113,3 +113,43 @@ def test_batcher_shuffle_permutes_lanes_deterministically():
                         shuffle_seed=2))[0].targets[:, 0].tolist()
     assert s1 == s1b            # deterministic given seed
     assert s1 != base or s2 != base   # actually permutes
+
+
+def test_length_balanced_lane_assignment():
+    """One 10x-long utterance must not starve the other lanes' tails:
+    greedy bin-packing keeps >=95% of corpus chunks per epoch (the
+    round-robin layout dropped ~half on this corpus)."""
+    from samplernn_pase_tpu.ops.framing import StreamBatcher
+
+    seq_len, overlap = 64, 16
+    rng = np.random.default_rng(0)
+    # 63 one-chunk utterances + one 10-chunk utterance, batch 8
+    utts = [rng.integers(0, 256, seq_len).astype(np.int32)
+            for _ in range(63)]
+    utts.insert(0, rng.integers(0, 256, 10 * seq_len).astype(np.int32))
+    sb = StreamBatcher(utts, batch_size=8, seq_len=seq_len,
+                       overlap=overlap, q_zero=128)
+    assert sb.total_chunks == 73
+    assert sb.coverage >= 0.95, sb.coverage
+    # chunks within an utterance stay sequential: resets fire exactly at
+    # utterance starts, and every step yields a full batch
+    n = 0
+    for chunk in sb:
+        assert chunk.inputs.shape == (8, overlap + seq_len)
+        n += 1
+    assert n == len(sb) >= 9
+
+
+def test_equal_length_assignment_is_round_robin():
+    """With equal-length utterances the balanced packing must reduce to
+    the old round-robin layout (lane b gets utterances b, b+B, ...)."""
+    from samplernn_pase_tpu.ops.framing import StreamBatcher
+
+    seq_len = 32
+    utts = [np.full(seq_len, i, np.int32) for i in range(12)]
+    sb = StreamBatcher(utts, batch_size=4, seq_len=seq_len, overlap=8,
+                       q_zero=128)
+    for b in range(4):
+        got = [lane_chunk[0][8] for lane_chunk in sb.lanes[b]]
+        assert got == [b, b + 4, b + 8]
+    assert sb.coverage == 1.0
