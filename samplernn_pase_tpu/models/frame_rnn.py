@@ -90,19 +90,20 @@ def tier_rnn(params, x, state, rnn_type: str, compute_dtype,
     x [B, N, dim]; state [n_rnn, ...] as built by tier_initial_state.
     Returns (h_seq [B, N, dim], new_state).
 
-    use_pallas_rnn routes GRU layers through the whole-sequence Pallas
-    kernel with a custom VJP (ops/pallas/rnn_train.py) — weights stay in
-    VMEM across all steps instead of paying lax.scan's per-iteration
-    cost. Interpreter mode is used automatically off-TPU.
+    use_pallas_rnn routes GRU/LSTM layers through the whole-sequence
+    Pallas kernel with a custom VJP (ops/pallas/rnn_train.py) — weights
+    stay in VMEM across all steps instead of paying lax.scan's
+    per-iteration cost. Interpreter mode is used automatically off-TPU.
     """
     h_seq = x
     new_states = []
     for i, layer in enumerate(params["rnn"]):
-        if use_pallas_rnn and rnn_type == "gru":
+        if use_pallas_rnn and rnn_type in ("gru", "lstm"):
             from samplernn_pase_tpu.ops.pallas.rnn_train import (
-                gru_sequence)
+                gru_sequence, lstm_sequence)
+            seq_fn = gru_sequence if rnn_type == "gru" else lstm_sequence
             xs = jnp.swapaxes(h_seq, 0, 1)          # [N, B, H]
-            hs, final = gru_sequence(
+            hs, final = seq_fn(
                 xs, state[i], layer["w_ih"], layer["b_ih"],
                 layer["w_hh"], layer["b_hh"],
                 jnp.dtype(compute_dtype).name,

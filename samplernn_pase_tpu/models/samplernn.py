@@ -88,14 +88,37 @@ def reset_state(params: Params, cfg: SampleRNNConfig, state: State,
     return tuple(out)
 
 
-def _prnn_vmem_fits(n_frames: int, batch: int, h: int) -> bool:
-    """Whole-sequence Pallas GRU VMEM estimate (the backward kernel is
-    the binding one): x/h_seq/dh/dx residuals [N,B,H] bf16 + weight
-    matrices, their transposes, and f32 dW accumulators — all resident.
-    Shapes past this bound (e.g. B=128 x 128 frames at H=1024) must use
-    the XLA scan instead of failing to compile."""
-    seq = 4 * n_frames * batch * h * 2
-    w = 4 * h * 3 * h * 2 + 2 * h * 3 * h * 4
+_RNN_PATH_LOGGED: set = set()
+
+
+def _log_rnn_path(k: int, use_prnn: bool, reason: str):
+    """One-time (per tier+outcome) log of which training RNN path a tier
+    compiles to — Pallas whole-sequence kernel vs XLA scan — so a user
+    benchmarking e.g. BASELINE config 2 can tell which path they
+    measured (the "auto" flag otherwise degrades silently)."""
+    key = (k, use_prnn, reason)
+    if key in _RNN_PATH_LOGGED:
+        return
+    _RNN_PATH_LOGGED.add(key)
+    import sys
+    what = ("Pallas whole-sequence kernel" if use_prnn
+            else f"XLA scan ({reason})")
+    print(f"[samplernn] tier {k} training RNN path: {what}",
+          file=sys.stderr)
+
+
+def _prnn_vmem_fits(n_frames: int, batch: int, h: int,
+                    rnn_type: str = "gru") -> bool:
+    """Whole-sequence Pallas RNN VMEM estimate (the backward kernel is
+    the binding one): residual sequences [N,B,H] bf16 (GRU: x/h_seq/dh/
+    dx; LSTM adds c_seq) + weight matrices, their transposes, and f32 dW
+    accumulators (3 gates GRU, 4 LSTM) — all resident.  Shapes past this
+    bound (e.g. B=128 x 128 frames at H=1024) must use the XLA scan
+    instead of failing to compile."""
+    n_seq = 4 if rnn_type == "gru" else 5
+    gates = 3 if rnn_type == "gru" else 4
+    seq = n_seq * n_frames * batch * h * 2
+    w = 4 * h * gates * h * 2 + 2 * h * gates * h * 4
     return seq + w < 126 * 1024 * 1024
 
 
@@ -153,9 +176,23 @@ def forward(params: Params, cfg: SampleRNNConfig, inputs, state: State,
         flag = cfg.pallas_train_rnn
         enabled = (flag is True or
                    (flag == "auto" and jax.default_backend() == "tpu"))
-        eligible = enabled and cfg.rnn_type == "gru" and cfg.dim % 128 == 0
+        eligible = (enabled and cfg.rnn_type in ("gru", "lstm")
+                    and cfg.dim % 128 == 0)
         use_prnn = eligible and _prnn_vmem_fits(
-            n_frames, inputs.shape[0], cfg.dim)
+            n_frames, inputs.shape[0], cfg.dim, cfg.rnn_type)
+        if not enabled:
+            reason = ("pallas_train_rnn=False" if flag is False
+                      else "auto: not running on TPU")
+        elif cfg.rnn_type not in ("gru", "lstm"):
+            reason = f"no training kernel for rnn_type={cfg.rnn_type}"
+        elif cfg.dim % 128:
+            reason = f"dim {cfg.dim} not 128-lane aligned"
+        elif not use_prnn:
+            reason = (f"{n_frames} frames x batch {inputs.shape[0]} at "
+                      f"dim {cfg.dim} exceeds the kernel's VMEM bound")
+        else:
+            reason = ""
+        _log_rnn_path(k, use_prnn, reason)
         if eligible and not use_prnn and flag is True:
             import warnings
             warnings.warn(

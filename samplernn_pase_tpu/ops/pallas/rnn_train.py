@@ -1,4 +1,4 @@
-"""Pallas GRU sequence kernel with custom VJP (training fast path).
+"""Pallas GRU/LSTM sequence kernels with custom VJP (training fast path).
 
 SURVEY.md §2 rebuild table row 2: the frame-tier recurrent scan as a
 native kernel. The XLA `lax.scan` pays a fixed per-iteration cost that
@@ -15,9 +15,18 @@ rnn_cells.gru_step):
     r = s(xr+hr) ; z = s(xz+hz) ; n = tanh(xn + r*hn)
     h_t = (1-z)*n + z*h_{t-1}
 
-Opt-in via SampleRNNConfig(pallas_train_rnn=True); eligibility: gru,
-H % 128 == 0 (lane-aligned gate slices). Gradient parity vs the XLA scan
-is tested in interpret mode (f32 exact) — see tests/test_rnn_train.py.
+LSTM math (cuDNN/PyTorch, gate order i,f,g,o — identical to
+rnn_cells.lstm_step):
+    g = x_t @ Wih + bih + h_{t-1} @ Whh + bhh
+    i = s(g0) ; f = s(g1) ; gg = tanh(g2) ; o = s(g3)
+    c_t = f*c_{t-1} + i*gg ; h_t = o*tanh(c_t)
+The backward recomputes the gates in reverse from the stored (h, c)
+sequences and carries BOTH dh and dc backwards (dc_prev = dc * f).
+
+Opt-in via SampleRNNConfig(pallas_train_rnn=True); eligibility: gru or
+lstm, H % 128 == 0 (lane-aligned gate slices). Gradient parity vs the
+XLA scan is tested in interpret mode (f32 exact) — see
+tests/test_rnn_train.py.
 """
 
 from __future__ import annotations
@@ -198,3 +207,197 @@ def _gru_seq_bwd(weights_dtype, interpret, res, cots):
 
 
 gru_sequence.defvjp(_gru_seq_fwd, _gru_seq_bwd)
+
+
+# --------------------------------------------------------------- LSTM
+
+def _lstm_gates(g, c_prev, hdim):
+    i_g = jax.nn.sigmoid(g[:, :hdim])
+    f_g = jax.nn.sigmoid(g[:, hdim:2 * hdim])
+    g_g = jnp.tanh(g[:, 2 * hdim:3 * hdim])
+    o_g = jax.nn.sigmoid(g[:, 3 * hdim:])
+    c = f_g * c_prev + i_g * g_g
+    h = o_g * jnp.tanh(c)
+    return i_g, f_g, g_g, o_g, c, h
+
+
+def _lstm_fwd_kernel(n_steps, x_ref, h0_ref, c0_ref, wih_ref, bih_ref,
+                     whh_ref, bhh_ref, hseq_ref, cseq_ref, hfin_ref,
+                     cfin_ref):
+    # h/c residual sequences are stored in the compute dtype (same VMEM
+    # argument as the GRU kernel; LSTM adds the c sequence)
+    hdim = h0_ref.shape[-1]
+
+    def body(t, carry):
+        h, c = carry
+        xg = jnp.dot(x_ref[t].astype(wih_ref.dtype), wih_ref[:],
+                     preferred_element_type=jnp.float32) + bih_ref[:]
+        hg = jnp.dot(h.astype(whh_ref.dtype), whh_ref[:],
+                     preferred_element_type=jnp.float32) + bhh_ref[:]
+        _, _, _, _, c_new, h_new = _lstm_gates(xg + hg, c, hdim)
+        hseq_ref[t] = h_new.astype(hseq_ref.dtype)
+        cseq_ref[t] = c_new.astype(cseq_ref.dtype)
+        return (h_new, c_new)
+
+    h_fin, c_fin = jax.lax.fori_loop(0, n_steps, body,
+                                     (h0_ref[:], c0_ref[:]))
+    hfin_ref[:] = h_fin
+    cfin_ref[:] = c_fin
+
+
+def _lstm_bwd_kernel(n_steps, x_ref, h0_ref, c0_ref, wih_ref, bih_ref,
+                     whh_ref, bhh_ref, wih_t_ref, whh_t_ref, hseq_ref,
+                     cseq_ref, dh_seq_ref, dhfin_ref, dcfin_ref, dx_ref,
+                     dh0_ref, dc0_ref, dwih_ref, dbih_ref, dwhh_ref,
+                     dbhh_ref):
+    hdim = h0_ref.shape[-1]
+    dwih_ref[:] = jnp.zeros_like(dwih_ref)
+    dwhh_ref[:] = jnp.zeros_like(dwhh_ref)
+    dbih_ref[:] = jnp.zeros_like(dbih_ref)
+    dbhh_ref[:] = jnp.zeros_like(dbhh_ref)
+
+    def body(i, carry):
+        dh_carry, dc_carry = carry
+        t = n_steps - 1 - i
+        g_h = dh_carry + dh_seq_ref[t]
+        h_prev = jnp.where(t == 0, h0_ref[:],
+                           hseq_ref[jnp.maximum(t - 1, 0)]).astype(
+                               jnp.float32)
+        c_prev = jnp.where(t == 0, c0_ref[:],
+                           cseq_ref[jnp.maximum(t - 1, 0)]).astype(
+                               jnp.float32)
+        c_t = cseq_ref[t].astype(jnp.float32)
+        # recompute the gates (cheaper than storing [B,N,4H] in HBM)
+        x_t = x_ref[t]
+        xg = jnp.dot(x_t.astype(wih_ref.dtype), wih_ref[:],
+                     preferred_element_type=jnp.float32) + bih_ref[:]
+        hg = jnp.dot(h_prev.astype(whh_ref.dtype), whh_ref[:],
+                     preferred_element_type=jnp.float32) + bhh_ref[:]
+        g = xg + hg
+        i_g = jax.nn.sigmoid(g[:, :hdim])
+        f_g = jax.nn.sigmoid(g[:, hdim:2 * hdim])
+        g_g = jnp.tanh(g[:, 2 * hdim:3 * hdim])
+        o_g = jax.nn.sigmoid(g[:, 3 * hdim:])
+        tc = jnp.tanh(c_t)
+
+        do = g_h * tc
+        dc = g_h * o_g * (1.0 - tc * tc) + dc_carry
+        di = dc * g_g
+        df = dc * c_prev
+        dg = dc * i_g
+        d_gates = jnp.concatenate(
+            [di * i_g * (1.0 - i_g),
+             df * f_g * (1.0 - f_g),
+             dg * (1.0 - g_g * g_g),
+             do * o_g * (1.0 - o_g)], axis=1)          # [B, 4H]
+
+        dx_ref[t] = jnp.dot(d_gates.astype(wih_t_ref.dtype),
+                            wih_t_ref[:],
+                            preferred_element_type=jnp.float32).astype(
+                                dx_ref.dtype)
+        dims = (((0,), (0,)), ((), ()))
+        dwih_ref[:] += jax.lax.dot_general(
+            x_t.astype(wih_ref.dtype), d_gates.astype(wih_ref.dtype),
+            dimension_numbers=dims, preferred_element_type=jnp.float32)
+        dwhh_ref[:] += jax.lax.dot_general(
+            h_prev.astype(whh_ref.dtype), d_gates.astype(whh_ref.dtype),
+            dimension_numbers=dims, preferred_element_type=jnp.float32)
+        # g = xg + hg: the bias paths see the same d_gates
+        dbih_ref[:] += jnp.sum(d_gates, axis=0, keepdims=True)
+        dbhh_ref[:] += jnp.sum(d_gates, axis=0, keepdims=True)
+
+        dh_prev = jnp.dot(d_gates.astype(whh_t_ref.dtype), whh_t_ref[:],
+                          preferred_element_type=jnp.float32)
+        dc_prev = dc * f_g
+        return (dh_prev, dc_prev)
+
+    dh0, dc0 = jax.lax.fori_loop(0, n_steps, body,
+                                 (dhfin_ref[:], dcfin_ref[:]))
+    dh0_ref[:] = dh0
+    dc0_ref[:] = dc0
+
+
+@functools.partial(jax.jit, static_argnames=("weights_dtype", "interpret"))
+def _lstm_fwd_call(x_seq, h0, c0, wih, bih, whh, bhh, *, weights_dtype,
+                   interpret):
+    n, b, hdim = x_seq.shape
+    wt = jnp.dtype(weights_dtype)
+    return pl.pallas_call(
+        functools.partial(_lstm_fwd_kernel, n),
+        out_shape=(jax.ShapeDtypeStruct((n, b, hdim), wt),   # h_seq
+                   jax.ShapeDtypeStruct((n, b, hdim), wt),   # c_seq
+                   jax.ShapeDtypeStruct((b, hdim), jnp.float32),
+                   jax.ShapeDtypeStruct((b, hdim), jnp.float32)),
+        in_specs=_vmem_specs(7),
+        out_specs=tuple(_vmem_specs(4)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024),
+        interpret=interpret,
+    )(x_seq.astype(wt), h0.astype(jnp.float32), c0.astype(jnp.float32),
+      wih.astype(wt), bih.astype(jnp.float32).reshape(1, -1),
+      whh.astype(wt), bhh.astype(jnp.float32).reshape(1, -1))
+
+
+@functools.partial(jax.jit, static_argnames=("weights_dtype", "interpret"))
+def _lstm_bwd_call(x_seq, h0, c0, wih, bih, whh, bhh, h_seq, c_seq,
+                   dh_seq, dh_fin, dc_fin, *, weights_dtype, interpret):
+    n, b, hdim = x_seq.shape
+    wt = jnp.dtype(weights_dtype)
+    return pl.pallas_call(
+        functools.partial(_lstm_bwd_kernel, n),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, b, hdim), wt),            # dx
+            jax.ShapeDtypeStruct((b, hdim), jnp.float32),      # dh0
+            jax.ShapeDtypeStruct((b, hdim), jnp.float32),      # dc0
+            jax.ShapeDtypeStruct((hdim, 4 * hdim), jnp.float32),
+            jax.ShapeDtypeStruct((1, 4 * hdim), jnp.float32),
+            jax.ShapeDtypeStruct((hdim, 4 * hdim), jnp.float32),
+            jax.ShapeDtypeStruct((1, 4 * hdim), jnp.float32),
+        ),
+        in_specs=_vmem_specs(14),
+        out_specs=tuple(_vmem_specs(7)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024),
+        interpret=interpret,
+    )(x_seq.astype(wt), h0.astype(jnp.float32), c0.astype(jnp.float32),
+      wih.astype(wt), bih.astype(jnp.float32).reshape(1, -1),
+      whh.astype(wt), bhh.astype(jnp.float32).reshape(1, -1),
+      wih.T.astype(wt), whh.T.astype(wt),
+      h_seq.astype(wt), c_seq.astype(wt), dh_seq.astype(wt),
+      dh_fin.astype(jnp.float32), dc_fin.astype(jnp.float32))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def lstm_sequence(x_seq, hc0, wih, bih, whh, bhh,
+                  weights_dtype="bfloat16", interpret=False):
+    """Run an LSTM over x_seq [N, B, H_in==H]; hc0 [2, B, H] (h, c).
+    Returns (h_seq [N,B,H] f32, hc_final [2,B,H] f32). Differentiable
+    via hand-written Pallas VJP (mirrors gru_sequence)."""
+    h_seq, _, h_fin, c_fin = _lstm_fwd_call(
+        x_seq, hc0[0], hc0[1], wih, bih, whh, bhh,
+        weights_dtype=weights_dtype, interpret=interpret)
+    return h_seq.astype(jnp.float32), jnp.stack([h_fin, c_fin])
+
+
+def _lstm_seq_fwd(x_seq, hc0, wih, bih, whh, bhh, weights_dtype,
+                  interpret):
+    h_seq, c_seq, h_fin, c_fin = _lstm_fwd_call(
+        x_seq, hc0[0], hc0[1], wih, bih, whh, bhh,
+        weights_dtype=weights_dtype, interpret=interpret)
+    out = (h_seq.astype(jnp.float32), jnp.stack([h_fin, c_fin]))
+    return out, (x_seq, hc0, wih, bih, whh, bhh, h_seq, c_seq)
+
+
+def _lstm_seq_bwd(weights_dtype, interpret, res, cots):
+    x_seq, hc0, wih, bih, whh, bhh, h_seq, c_seq = res
+    dh_seq, dhc_fin = cots
+    dx, dh0, dc0, dwih, dbih, dwhh, dbhh = _lstm_bwd_call(
+        x_seq, hc0[0], hc0[1], wih, bih, whh, bhh, h_seq, c_seq,
+        dh_seq, dhc_fin[0], dhc_fin[1],
+        weights_dtype=weights_dtype, interpret=interpret)
+    return (dx.astype(x_seq.dtype), jnp.stack([dh0, dc0]),
+            dwih.astype(wih.dtype), dbih.reshape(bih.shape),
+            dwhh.astype(whh.dtype), dbhh.reshape(bhh.shape))
+
+
+lstm_sequence.defvjp(_lstm_seq_fwd, _lstm_seq_bwd)
