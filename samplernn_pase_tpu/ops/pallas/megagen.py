@@ -112,8 +112,8 @@ def _onehot_col(levels_col, n_levels, dtype):
 
 
 def _kernel(frame_sizes, n_top, q_levels, deterministic, cond_rate,
-            rnn_type, n_rnn, use_ring, fused_embed, stream_top, seed_ref,
-            temp_ref, *refs):
+            rnn_type, n_rnn, use_ring, fused_embed, stream_top,
+            host_noise, seed_ref, temp_ref, *refs):
     # VMEM scratch (tail of the ref list): per-frame hoisted cond rows,
     # per-frame gumbel noise, (ring mode) the embedded window, and
     # (stream mode) the top-tier weight slot + its DMA semaphore
@@ -140,6 +140,12 @@ def _kernel(frame_sizes, n_top, q_levels, deterministic, cond_rate,
         coff_ref = refs[0]
         ext_refs = refs[1:1 + k_tiers]
         refs = refs[1 + k_tiers:]
+    if host_noise:
+        # per-bottom-frame Gumbel noise supplied by the host (interpret
+        # mode: the on-core PRNG does not exist off-TPU); indexed by the
+        # in-call bottom-frame counter pos // f1
+        gnoise_ref = refs[0]
+        refs = refs[1:]
     win_ref = refs[0]
     # h_refs[k][i] = tier k, rnn layer i
     flat_h = refs[1:1 + n_states]
@@ -161,7 +167,7 @@ def _kernel(frame_sizes, n_top, q_levels, deterministic, cond_rate,
     f1 = frame_sizes[0]
     temp = temp_ref[0]
     q_half = jnp.float32(q_levels / 2.0)
-    if not deterministic:
+    if not deterministic and not host_noise:
         pltpu.prng_seed(seed_ref[0])
     embed = embed_ref[:]
 
@@ -314,10 +320,14 @@ def _kernel(frame_sizes, n_top, q_levels, deterministic, cond_rate,
             cond_sc_ref[:] = jnp.dot(h_bf, wup[:],
                                      preferred_element_type=jnp.float32)
             if not deterministic:
-                bits = pltpu.prng_random_bits((f1, b, q_levels))
-                u23 = jnp.bitwise_and(bits, jnp.int32(0x7FFFFF))
-                u = (u23.astype(jnp.float32) * (1.0 / (1 << 23)) + 1e-7)
-                gum_sc_ref[:] = -jnp.log(-jnp.log(u))
+                if host_noise:
+                    gum_sc_ref[:] = gnoise_ref[pos // f1]
+                else:
+                    bits = pltpu.prng_random_bits((f1, b, q_levels))
+                    u23 = jnp.bitwise_and(bits, jnp.int32(0x7FFFFF))
+                    u = (u23.astype(jnp.float32) * (1.0 / (1 << 23))
+                         + 1e-7)
+                    gum_sc_ref[:] = -jnp.log(-jnp.log(u))
             (ctx["partial"], ctx["prev_emb"], ctx["emb_win"],
              block) = jax.lax.fori_loop(
                 0, f1, mlp_step,
@@ -386,7 +396,7 @@ def generate_full_pallas(window, states, temperature, seed, tiers, mlp, *,
                          ext_proj=None, cond_offsets=None,
                          rnn_type: str = "gru",
                          weights_dtype: str = "bfloat16",
-                         stream_top: bool = False):
+                         stream_top: bool = False, gumbel=None):
     """Run the full generation megakernel (K tiers, GRU or LSTM, any
     static n_rnn — stacked layers per tier run as a static cell stack).
 
@@ -438,6 +448,14 @@ def generate_full_pallas(window, states, temperature, seed, tiers, mlp, *,
     if cond_rate:
         cond_args = (jnp.asarray(cond_offsets, jnp.int32).reshape(2),
                      *(e.astype(jnp.float32) for e in ext_proj))
+    # host-supplied per-bottom-frame Gumbel noise (interpret-mode
+    # sampled decode: no on-core PRNG off-TPU); [n_bottom, f1, B, q]
+    host_noise = gumbel is not None
+    if host_noise:
+        n_bottom = n_top * (lookback // frame_sizes[0])
+        assert gumbel.shape == (n_bottom, frame_sizes[0], b, q_levels), (
+            gumbel.shape, (n_bottom, frame_sizes[0], b, q_levels))
+        cond_args = cond_args + (gumbel.astype(jnp.float32),)
     tier_args = ()
     for t in tiers:
         tier_args = tier_args + prep(t)
@@ -495,6 +513,7 @@ def generate_full_pallas(window, states, temperature, seed, tiers, mlp, *,
         # the top tier's big matrices stay in HBM and are DMA'd per use
         any_spec = pl.BlockSpec(memory_space=pl.ANY)
         top0 = (n_smem + (k if cond_rate else 0)   # ext_proj streams
+                + (1 if host_noise else 0)         # gumbel buffer
                 + 1 + len(flat_states)             # window + states
                 + (k - 1) * trc)                   # lower tiers
         for i in range(n_rnn):
@@ -507,7 +526,7 @@ def generate_full_pallas(window, states, temperature, seed, tiers, mlp, *,
     outs = pl.pallas_call(
         functools.partial(_kernel, frame_sizes, n_top, q_levels,
                           deterministic, cond_rate, rnn_type, n_rnn,
-                          use_ring, fused_embed, stream_top),
+                          use_ring, fused_embed, stream_top, host_noise),
         out_shape=(
             jax.ShapeDtypeStruct((n_top, b, lookback), jnp.int32),
             *(jax.ShapeDtypeStruct((n_state, b, hdim), jnp.float32)

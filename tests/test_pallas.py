@@ -395,3 +395,65 @@ def test_megakernel_stream_top_ring_buffer_matches_resident():
     np.testing.assert_array_equal(outs[False][0], outs[True][0])
     for a, b_ in zip(outs[False][1], outs[True][1]):
         np.testing.assert_array_equal(a, b_)
+
+
+def test_megakernel_sampled_host_noise_rescoring():
+    """Sampled (temperature>0) megakernel decode in interpret mode via a
+    host-supplied Gumbel buffer: every emitted sample must equal
+    argmax(teacher-forced logits + temp * gumbel) over the emitted
+    history (f32 exact) — the CI-side proof of the sampling path the
+    on-core PRNG covers on hardware."""
+    from samplernn_pase_tpu.ops.pallas.megagen import generate_full_pallas
+    from samplernn_pase_tpu.ops.mulaw import quantize_zero
+
+    cfg = SampleRNNConfig(frame_sizes=(4, 2), dim=16, embed_dim=8,
+                          compute_dtype="float32")
+    params = samplernn.init_params(jax.random.PRNGKey(3), cfg)
+    b, n_top, temp = 2, 3, 0.8
+    f1, lookback = cfg.frame_sizes[0], cfg.lookback
+    n_bottom = n_top * (lookback // f1)
+    window = jnp.full((b, lookback), quantize_zero(cfg.q_levels),
+                      jnp.int32)
+    states = samplernn.initial_state(params, cfg, b)
+    gum = jax.random.gumbel(jax.random.PRNGKey(7),
+                            (n_bottom, f1, b, cfg.q_levels), jnp.float32)
+    blocks, _ = generate_full_pallas(
+        window, states, temp, jnp.int32(0), list(params["tiers"]),
+        params["mlp"], n_top=n_top, q_levels=cfg.q_levels,
+        deterministic=False, interpret=True, rnn_type=cfg.rnn_type,
+        weights_dtype="float32", gumbel=gum)
+    emitted = np.asarray(jnp.moveaxis(blocks, 0, 1).reshape(
+        b, n_top * lookback))
+    # teacher-forced logits over the emitted history
+    inputs = jnp.concatenate(
+        [window, jnp.asarray(emitted, jnp.int32)], axis=1)
+    logits, _ = samplernn.forward(params, cfg, inputs, states)
+    logits = np.asarray(logits)                    # [B, T, q]
+    gum_np = np.asarray(gum)
+    for t in range(n_top * lookback):
+        want = np.argmax(logits[:, t] + temp * gum_np[t // f1, t % f1],
+                         axis=-1)
+        np.testing.assert_array_equal(emitted[:, t], want,
+                                      err_msg=f"sample {t}")
+
+
+def test_generate_levels_sampled_interpret_runs():
+    """generate_levels with temperature>0 now takes the megakernel in
+    interpret mode (host-noise path) — same-key determinism and
+    different-key divergence sanity."""
+    cfg = SampleRNNConfig(frame_sizes=(4, 2), dim=16, embed_dim=8,
+                          compute_dtype="float32")
+    params = samplernn.init_params(jax.random.PRNGKey(4), cfg)
+    t = cfg.lookback * 3
+    a = gen.generate_levels(params, cfg, 2, t, temperature=1.0,
+                            key=jax.random.PRNGKey(1),
+                            use_pallas="interpret")
+    b = gen.generate_levels(params, cfg, 2, t, temperature=1.0,
+                            key=jax.random.PRNGKey(1),
+                            use_pallas="interpret")
+    c = gen.generate_levels(params, cfg, 2, t, temperature=1.0,
+                            key=jax.random.PRNGKey(2),
+                            use_pallas="interpret")
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert np.any(np.asarray(a) != np.asarray(c))
+    assert a.shape == (2, t)
