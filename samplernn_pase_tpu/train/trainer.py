@@ -174,7 +174,8 @@ class CheckpointPlugin(Plugin):
         # restore() skips batches <= batch_idx and numbers the first
         # post-resume batch `next_step` — no retrain, no double-logging
         self.mgr.save(
-            step, trainer.params, trainer.opt_state, trainer.hiddens,
+            step, trainer._ckpt_params(), trainer.opt_state,
+            trainer.hiddens,
             cursor=np.asarray([trainer.epoch, trainer.batch_idx,
                                next_step]),
             metrics=metrics)
@@ -234,6 +235,15 @@ class GeneratorPlugin(Plugin):
                 cond = np.concatenate([cond, pad], axis=1)
             cond = cond[:, :need]      # and trim a too-long one (a full
             # utterance stream vs speaker_cond's [n, need, D] broadcast)
+        if cond is None and cfg.cond_dim:
+            # no static stream: ask the trainer (the joint mode embeds a
+            # corpus utterance through its CURRENT adapted encoder so
+            # the periodic artifacts exercise the real conditioned path)
+            need = -(-self.length // cfg.cond_rate)
+            gen_cond = getattr(trainer, "generation_cond", None)
+            dyn = gen_cond(n, need) if gen_cond is not None else None
+            if dyn is not None:
+                cond = np.asarray(dyn, np.float32)
         if speakers is None and cfg.n_speakers:
             # n_speakers models ALWAYS add the learned speaker embedding
             # onto the conditioning during training (speaker_cond), so
@@ -247,8 +257,11 @@ class GeneratorPlugin(Plugin):
         from samplernn_pase_tpu import generate as gen
         from samplernn_pase_tpu.ops.audio_io import write_wav
         n, speakers, cond = self._cond_args(trainer)
+        params = getattr(trainer, "gen_params", None)
+        if params is None:
+            params = trainer.params
         wav = gen.generate(
-            trainer.params, trainer.model_cfg, n_seqs=n,
+            params, trainer.model_cfg, n_seqs=n,
             length=self.length, temperature=self.temp,
             key=jax.random.PRNGKey(trainer.global_step),
             cond=cond, speakers=speakers)
@@ -274,8 +287,8 @@ class Trainer:
         self.plugins = list(plugins)
         self.mesh = mesh
         key = key if key is not None else jax.random.PRNGKey(train_cfg.seed)
-        self.params = params if params is not None else samplernn.init_params(
-            key, model_cfg)
+        self.params = (params if params is not None
+                       else self._init_params(key))
         self.tx = make_optimizer(
             train_cfg.lr, train_cfg.grad_clip,
             schedule=train_cfg.lr_schedule,
@@ -283,11 +296,8 @@ class Trainer:
             decay_steps=train_cfg.decay_steps)
         self.opt_state = self.tx.init(self.params)
         self.hiddens = samplernn.initial_state(
-            self.params, model_cfg, train_cfg.batch_size)
-        self._train_step = make_train_step(model_cfg, self.tx)
-        self._multi_step = (make_multi_train_step(model_cfg, self.tx)
-                            if train_cfg.steps_per_call > 1 else None)
-        self._eval_step = make_eval_step(model_cfg)
+            self._model_params(), model_cfg, train_cfg.batch_size)
+        self._build_steps()
         self.global_step = 0
         self.epoch = 0
         self.batch_idx = 0
@@ -308,6 +318,44 @@ class Trainer:
             self.hiddens = tuple(
                 jax.device_put(h, pm.state_sharding(mesh, h.ndim))
                 for h in self.hiddens)
+
+    # -- mode hooks (overridden by JointTrainer) -------------------------
+    metric_tags: dict = {}   # extra key/values stamped onto step metrics
+
+    def _init_params(self, key):
+        return samplernn.init_params(key, self.model_cfg)
+
+    def _model_params(self):
+        """The SampleRNN half of self.params (identity in plain mode)."""
+        return self.params
+
+    def _build_steps(self):
+        self._train_step = make_train_step(self.model_cfg, self.tx)
+        self._multi_step = (
+            make_multi_train_step(self.model_cfg, self.tx)
+            if self.train_cfg.steps_per_call > 1 else None)
+        self._eval_step = make_eval_step(self.model_cfg)
+
+    def _ckpt_params(self):
+        """What goes into the checkpoint's "params" slot (the joint mode
+        wraps srnn+pase+bn into the {"joint": ..., "bn": ...} payload
+        that extract/generate already unpack)."""
+        return self.params
+
+    def _set_ckpt_params(self, p):
+        self.params = p
+
+    @property
+    def gen_params(self):
+        """Params for the GeneratorPlugin's decode (srnn half in joint
+        mode)."""
+        return self._model_params()
+
+    def generation_cond(self, n_seqs: int, n_frames: int):
+        """Conditioning stream [n_seqs, n_frames, cond_dim] for periodic
+        generation artifacts when the plugin has no static stream; None
+        = generate without external conditioning."""
+        return None
 
     # -- data ------------------------------------------------------------
     def _batcher(self, split):
@@ -413,11 +461,7 @@ class Trainer:
             args = self._put(chunk.inputs, chunk.targets,
                              chunk.resets.astype(np.float32))
             kwargs = self._cond_kwargs(chunk, cond)
-            (self.params, self.opt_state, self.hiddens,
-             nll) = self._train_step(
-                self.params, self.opt_state, self.hiddens, *args,
-                **kwargs)
-            nlls = [float(nll)]
+            nlls = self._step_single(args, kwargs)
         else:
             chunks, conds = zip(*(self._split_batch(it) for _, it in group))
             xs, ys, rs = self._put_staged(
@@ -431,11 +475,7 @@ class Trainer:
                     and chunks[0].speakers is not None):
                 kwargs["speakers"] = self._put_staged(
                     np.stack([c.speakers for c in chunks]))[0]
-            (self.params, self.opt_state, self.hiddens,
-             nll_arr) = self._multi_step(
-                self.params, self.opt_state, self.hiddens, xs, ys, rs,
-                **kwargs)
-            nlls = [float(v) for v in np.asarray(nll_arr)]
+            nlls = self._step_multi((xs, ys, rs), kwargs)
         dt = (time.time() - t0) / len(group)
         if (self.train_cfg.profile_dir and self._trace_started
                 and self.global_step + len(group) > 12):
@@ -444,6 +484,7 @@ class Trainer:
         self.resume_next_step = self.global_step + len(nlls)
         for nll in nlls:
             metrics = {
+                **self.metric_tags,
                 "nll_bits": nll,
                 "samples_per_sec": samples_per_chunk / dt,
                 "frames_per_sec": (samples_per_chunk
@@ -453,30 +494,48 @@ class Trainer:
                 p.on_step(self, self.global_step, metrics)
             self.global_step += 1
 
+    def _step_single(self, args, kwargs):
+        """One train step; returns the per-step NLL list (len 1)."""
+        (self.params, self.opt_state, self.hiddens,
+         nll) = self._train_step(
+            self.params, self.opt_state, self.hiddens, *args, **kwargs)
+        return [float(nll)]
+
+    def _step_multi(self, staged, kwargs):
+        """K staged train steps in one dispatch; per-step NLL list."""
+        (self.params, self.opt_state, self.hiddens,
+         nll_arr) = self._multi_step(
+            self.params, self.opt_state, self.hiddens, *staged, **kwargs)
+        return [float(v) for v in np.asarray(nll_arr)]
+
+    def _eval_call(self, hiddens, args, kwargs):
+        return self._eval_step(self.params, hiddens, *args, **kwargs)
+
     def validate(self) -> float:
         hiddens = samplernn.initial_state(
-            self.params, self.model_cfg, self.train_cfg.batch_size)
+            self._model_params(), self.model_cfg,
+            self.train_cfg.batch_size)
         total, n = 0.0, 0
         for item in self._batcher("val"):
             chunk, cond = self._split_batch(item)
             args = self._put(chunk.inputs, chunk.targets,
                              chunk.resets.astype(np.float32))
             kwargs = self._cond_kwargs(chunk, cond)
-            hiddens, nll = self._eval_step(self.params, hiddens, *args,
-                                           **kwargs)
+            hiddens, nll = self._eval_call(hiddens, args, kwargs)
             total += float(nll)
             n += 1
         return total / max(n, 1)
 
     # -- resume ----------------------------------------------------------
     def restore(self, manager) -> bool:
-        template = {"params": self.params, "opt_state": self.opt_state,
+        template = {"params": self._ckpt_params(),
+                    "opt_state": self.opt_state,
                     "hiddens": list(self.hiddens),
                     "cursor": np.zeros(3)}
         restored = manager.restore(template=template)
         if restored is None:
             return False
-        self.params = restored["params"]
+        self._set_ckpt_params(restored["params"])
         self.opt_state = restored["opt_state"]
         if restored.get("hiddens") is not None:
             self.hiddens = tuple(restored["hiddens"])

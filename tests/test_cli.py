@@ -286,3 +286,65 @@ def test_cli_generate_short_cond_stream_is_clamp_extended(wav_dir,
               "--cond", str(short)])
     y, _ = read_wav(sorted(out.glob("*.wav"))[0])
     assert len(y) == 512 and np.isfinite(y).all()
+
+
+def test_cli_joint_full_trainer_contract(tmp_path):
+    """--joint now rides the full Trainer plugin loop (VERDICT r2 #1):
+    val NLL recorded, checkpoints at cadence, --resume continues
+    mid-experiment, and `evaluate --best` selects a real val-NLL
+    checkpoint when a held-out split exists."""
+    import sys
+    from samplernn_pase_tpu import cli
+
+    # corpus big enough that the md5 split yields a val utterance
+    d = tmp_path / "wavs"
+    d.mkdir()
+    rng = np.random.default_rng(1)
+    t = np.arange(2048) / 16_000
+    for i in range(12):
+        x = 0.4 * np.sin(2 * np.pi * (120 + 40 * i) * t)
+        x += 0.05 * rng.normal(size=t.size)
+        write_wav(d / f"clip{i}.wav", np.clip(x, -1, 1), 16_000)
+
+    import samplernn_pase_tpu.config as C
+    import dataclasses as dc
+    exp = tmp_path / "exp_joint2"
+    # small PASE so the test stays fast; decimation 16
+    e = C.ExperimentConfig(
+        model=C.SampleRNNConfig(frame_sizes=(4, 2), dim=16, embed_dim=8,
+                                cond_dim=10, cond_rate=16,
+                                compute_dtype="float32"),
+        pase=C.PASEConfig(sinc_filters=8, sinc_kernel=33,
+                          blocks=((8, 5, 4), (12, 5, 4)), emb_dim=10,
+                          compute_dtype="float32"),
+        train=C.TrainConfig(batch_size=2, seq_len=64, epochs=1,
+                            exp_dir=str(exp), ckpt_every_steps=20,
+                            val_every_steps=20, log_every_steps=5))
+    cfg_path = tmp_path / "joint_cfg.json"
+    cfg_path.write_text(C.to_json(e))
+
+    cli.main(["train", "--joint", "--config", str(cfg_path),
+              "--dataset", str(d), "--exp-dir", str(exp)])
+    metrics = [json.loads(l) for l in
+               (exp / "metrics.jsonl").read_text().splitlines()]
+    val_lines = [m for m in metrics if m.get("split") == "val"]
+    assert val_lines and all(
+        not m.get("val_is_train_fallback") for m in val_lines), \
+        "joint val NLL must be held-out on this corpus"
+    assert any(m.get("mode") == "joint" for m in metrics)
+
+    # resume continues (epoch 2) without error and trains further
+    cli.main(["train", "--joint", "--config", str(cfg_path),
+              "--dataset", str(d), "--exp-dir", str(exp),
+              "--resume", "--epochs", "2"])
+
+    # evaluate --best must find a checkpoint with a recorded val NLL
+    import io
+    import contextlib
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        cli.main(["evaluate", "--ckpt", str(exp), "--dataset", str(d),
+                  "--split", "val", "--best"])
+    out = json.loads(buf.getvalue())
+    assert out["held_out"] is True
+    assert np.isfinite(out["nll_bits"])
