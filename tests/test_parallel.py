@@ -205,3 +205,186 @@ def test_dp_conditioned_train_step_matches_single_device():
     for a, b_ in zip(leaves_s, leaves_u):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    atol=1e-5)
+
+
+def test_2d_mesh_conditioned_speakers_matches_single_device():
+    """VERDICT r2 #3: the HARD variant — conditioned + speaker train
+    step on the 2-D (data, model) mesh (cond/speaker streams sharded
+    over 'data', sample-MLP column-sharded over 'model') == unsharded."""
+    cfg = SampleRNNConfig(frame_sizes=(4, 2), dim=16, embed_dim=8,
+                          cond_dim=6, cond_rate=8, n_speakers=4,
+                          compute_dtype="float32")
+    mesh = pm.make_mesh((4, 2), ("data", "model"))
+    tx = make_optimizer(1e-2, 1.0)
+    params = samplernn.init_params(jax.random.PRNGKey(4), cfg)
+    b, t = 8, cfg.lookback * 4
+    rng = np.random.default_rng(4)
+    inputs = rng.integers(0, 256, (b, cfg.lookback + t), np.int32)
+    cond = rng.normal(size=(b, t // cfg.cond_rate,
+                            cfg.cond_dim)).astype(np.float32)
+    spk = rng.integers(0, 4, (b,), dtype=np.int32)
+    resets = np.ones((b,), np.float32)
+
+    def run(shard):
+        p = jax.tree.map(lambda a: jnp.array(a, copy=True), params)
+        opt = tx.init(p)
+        h = samplernn.initial_state(p, cfg, b)
+        x = jnp.asarray(inputs)
+        y, r = x[:, cfg.lookback:], jnp.asarray(resets)
+        c, s = jnp.asarray(cond), jnp.asarray(spk)
+        if shard:
+            shardings = pm.shard_params(p, mesh)
+            p = jax.tree.map(jax.device_put, p, shardings)
+            opt = jax.tree.map(jax.device_put, opt,
+                               pm.shard_params(opt, mesh))
+            h = tuple(jax.device_put(a, pm.state_sharding(mesh, a.ndim))
+                      for a in h)
+            x = jax.device_put(x, pm.batch_sharding(mesh, 2))
+            y = jax.device_put(y, pm.batch_sharding(mesh, 2))
+            r = jax.device_put(r, pm.batch_sharding(mesh, 1))
+            c = jax.device_put(c, pm.batch_sharding(mesh, 3))
+            s = jax.device_put(s, pm.batch_sharding(mesh, 1))
+        step = make_train_step(cfg, tx)
+        p2, _, h2, nll = step(p, opt, h, x, y, r, cond=c, speakers=s)
+        return float(nll), jax.tree.leaves(p2), jax.tree.leaves(h2)
+
+    nll_s, pl_s, hl_s = run(True)
+    nll_u, pl_u, hl_u = run(False)
+    assert abs(nll_s - nll_u) < 1e-5
+    for a, e in zip(pl_s + hl_s, pl_u + hl_u):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(e),
+                                   atol=1e-5, rtol=1e-5)
+
+
+def test_dp_lstm_train_step_matches_single_device():
+    """VERDICT r2 #3: LSTM state layout [n_rnn, 2, B, H] must shard on
+    axis -2 (batch) and produce identical math to unsharded — the
+    state-plumbing hard part under the c-state's extra leading axis."""
+    cfg = SampleRNNConfig(frame_sizes=(4, 2), dim=16, embed_dim=8,
+                          rnn_type="lstm", n_rnn=2,
+                          compute_dtype="float32")
+    mesh = pm.make_mesh((8,), ("data",))
+    tx = make_optimizer(1e-2, 1.0)
+    params = samplernn.init_params(jax.random.PRNGKey(5), cfg)
+    b, t = 8, cfg.lookback * 4
+    rng = np.random.default_rng(5)
+    inputs = rng.integers(0, 256, (b, cfg.lookback + t), np.int32)
+    resets = np.zeros((b,), np.float32)   # carry state: harder path
+    state0 = tuple(
+        jnp.asarray(rng.normal(size=(cfg.n_rnn, 2, b, cfg.dim)) * 0.1,
+                    jnp.float32) for _ in range(cfg.n_tiers))
+
+    def run(shard):
+        p = jax.tree.map(lambda a: jnp.array(a, copy=True), params)
+        opt = tx.init(p)
+        h = tuple(jnp.array(s, copy=True) for s in state0)
+        x = jnp.asarray(inputs)
+        y, r = x[:, cfg.lookback:], jnp.asarray(resets)
+        if shard:
+            rep = pm.replicated(mesh)
+            p = jax.device_put(p, rep)
+            opt = jax.device_put(opt, rep)
+            h = tuple(jax.device_put(a, pm.state_sharding(mesh, a.ndim))
+                      for a in h)
+            assert all(a.sharding.spec[-2] == "data" for a in h)
+            x = jax.device_put(x, pm.batch_sharding(mesh, 2))
+            y = jax.device_put(y, pm.batch_sharding(mesh, 2))
+            r = jax.device_put(r, pm.batch_sharding(mesh, 1))
+        step = make_train_step(cfg, tx)
+        p2, _, h2, nll = step(p, opt, h, x, y, r)
+        return float(nll), jax.tree.leaves(p2), jax.tree.leaves(h2)
+
+    nll_s, pl_s, hl_s = run(True)
+    nll_u, pl_u, hl_u = run(False)
+    assert abs(nll_s - nll_u) < 1e-5
+    for a, e in zip(pl_s + hl_s, pl_u + hl_u):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(e),
+                                   atol=1e-5, rtol=1e-5)
+
+
+def test_conditioned_generation_sharded_matches_unsharded():
+    """VERDICT r2 #3: conditioned (+speaker) generation with params
+    replicated and the cond stream device_put per chunk under the mesh
+    — greedy decode must be bit-equal to unsharded."""
+    from samplernn_pase_tpu import generate as gen
+    cfg = SampleRNNConfig(frame_sizes=(4, 2), dim=16, embed_dim=8,
+                          cond_dim=6, cond_rate=8, n_speakers=4,
+                          compute_dtype="float32")
+    mesh = pm.make_mesh((8,), ("data",))
+    params = samplernn.init_params(jax.random.PRNGKey(6), cfg)
+    n, length = 8, cfg.lookback * 4
+    rng = np.random.default_rng(6)
+    cond = rng.normal(size=(n, length // cfg.cond_rate,
+                            cfg.cond_dim)).astype(np.float32)
+    spk = rng.integers(0, 4, (n,), dtype=np.int32)
+    key = jax.random.PRNGKey(9)
+    ref = gen.generate_levels(params, cfg, n, length, temperature=None,
+                              key=key, cond=jnp.asarray(cond),
+                              speakers=spk)
+    p_sh = jax.device_put(params, pm.replicated(mesh))
+    c_sh = jax.device_put(jnp.asarray(cond), pm.batch_sharding(mesh, 3))
+    got = gen.generate_levels(p_sh, cfg, n, length, temperature=None,
+                              key=key, cond=c_sh, speakers=spk)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
+def test_dp_joint_train_step_matches_single_device():
+    """Joint (PASE-in-graph) train step under the DP mesh == unsharded:
+    the encoder runs on the sharded chunk waveform and its gradients
+    psum over 'data' exactly like the SampleRNN half's."""
+    from samplernn_pase_tpu.config import PASEConfig
+    from samplernn_pase_tpu.train import joint
+
+    pcfg = PASEConfig(sinc_filters=8, sinc_kernel=33,
+                      blocks=((8, 5, 4), (12, 5, 4)), emb_dim=10,
+                      compute_dtype="float32")
+    cfg = SampleRNNConfig(frame_sizes=(4, 2), dim=16, embed_dim=8,
+                          cond_dim=10, cond_rate=16,
+                          compute_dtype="float32")
+    mesh = pm.make_mesh((8,), ("data",))
+    tx = make_optimizer(1e-2, 1.0)
+    params, bn = joint.init_joint(jax.random.PRNGKey(7), cfg, pcfg)
+    b, t = 8, 64
+    rng = np.random.default_rng(7)
+    inputs = rng.integers(0, 256, (b, cfg.lookback + t), np.int32)
+    resets = np.ones((b,), np.float32)
+
+    def run(shard):
+        p = jax.tree.map(lambda a: jnp.array(a, copy=True), params)
+        bs = jax.tree.map(lambda a: jnp.array(a, copy=True), bn)
+        opt = tx.init(p)
+        h = samplernn.initial_state(p["srnn"], cfg, b)
+        x = jnp.asarray(inputs)
+        y, r = x[:, cfg.lookback:], jnp.asarray(resets)
+        if shard:
+            rep = pm.replicated(mesh)
+            p = jax.device_put(p, rep)
+            bs = jax.device_put(bs, rep)
+            opt = jax.device_put(opt, rep)
+            h = tuple(jax.device_put(a, pm.state_sharding(mesh, a.ndim))
+                      for a in h)
+            x = jax.device_put(x, pm.batch_sharding(mesh, 2))
+            y = jax.device_put(y, pm.batch_sharding(mesh, 2))
+            r = jax.device_put(r, pm.batch_sharding(mesh, 1))
+        step = joint.make_joint_train_step(cfg, pcfg, tx)
+        p2, _, bs2, _, nll = step(p, opt, bs, h, x, y, r)
+        return float(nll), p2, jax.tree.leaves(bs2)
+
+    nll_s, p_s, bl_s = run(True)
+    nll_u, p_u, bl_u = run(False)
+    assert abs(nll_s - nll_u) < 1e-5
+    # the pase conv/proj biases sit directly before train-mode BN: the
+    # mean-subtraction cancels them exactly, so their gradients are pure
+    # float noise that Adam amplifies — sharded reduction order changes
+    # that noise; every non-degenerate leaf must match
+    import jax.tree_util as jtu
+    for (pa, a), (_, e) in zip(jtu.tree_leaves_with_path(p_s),
+                               jtu.tree_leaves_with_path(p_u)):
+        keys = jtu.keystr(pa)
+        if "'pase'" in keys and keys.endswith("['b']"):
+            continue
+        np.testing.assert_allclose(np.asarray(a), np.asarray(e),
+                                   atol=1e-4, rtol=1e-4, err_msg=keys)
+    for a, e in zip(bl_s, bl_u):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(e),
+                                   atol=1e-4, rtol=1e-4)
