@@ -474,15 +474,31 @@ class StreamingGenerator:
 
     Chunk lengths must be multiples of cfg.lookback. Conditioned configs
     stream per-chunk conditioning through ``emit(cond=...)``.
+
+    ``chunks_per_call=K`` amortizes the per-dispatch host<->device cost
+    (the dominant term at small batch on a remote-attached host — the
+    decode-side mirror of the trainer's ``steps_per_call``): ``emit(n)``
+    generates K×n samples in ONE device call and serves them from a
+    buffer one chunk per call.  Greedy streams are bit-identical to
+    K=1; sampled streams stay per-chunk deterministic in the key but
+    consume the key on a different schedule.  Buffered mode requires
+    the conditioning (if any) to be passed per ``emit`` covering the
+    whole K-chunk span, so it is only taken when ``cond is None``;
+    latency note: every K'th call bears the generation cost, so K > 1
+    trades worst-case call latency for average throughput — size K to
+    the audio buffer the serving layer already keeps.
     """
 
     def __init__(self, params, cfg: SampleRNNConfig, n_seqs: int,
                  temperature: float | None = 1.0, key=None,
-                 use_pallas: bool | str | None = None):
+                 use_pallas: bool | str | None = None,
+                 chunks_per_call: int = 1):
         self.params, self.cfg, self.n = params, cfg, n_seqs
         self.temperature = temperature
         self.key = key if key is not None else jax.random.PRNGKey(0)
         self.use_pallas = use_pallas
+        self.chunks_per_call = max(1, int(chunks_per_call))
+        self._buffer = None        # pending levels [n, m] (device array)
         self.states = samplernn.initial_state(params, cfg, n_seqs)
         self.hist = jnp.full((n_seqs, cfg.lookback),
                              quantize_zero(cfg.q_levels), jnp.int32)
@@ -495,14 +511,10 @@ class StreamingGenerator:
         self.states, self.hist = prime(
             self.params, self.cfg, levels, cond=cond, speakers=speakers,
             max_context=max_context)
+        self._buffer = None   # buffered lookahead predates the seed
         return self
 
-    def emit(self, n_samples: int, cond=None, speakers=None):
-        """Generate the next n_samples levels [n_seqs, n_samples]."""
-        if n_samples % self.cfg.lookback:
-            raise ValueError(
-                f"n_samples must be a multiple of lookback "
-                f"({self.cfg.lookback})")
+    def _generate(self, n_samples: int, cond, speakers):
         self.key, sub = jax.random.split(self.key)
         levels, states, hist = generate_levels(
             self.params, self.cfg, self.n, n_samples, self.temperature,
@@ -511,6 +523,32 @@ class StreamingGenerator:
             return_state=True)
         self.states, self.hist = states, hist
         return levels
+
+    def emit(self, n_samples: int, cond=None, speakers=None):
+        """Generate the next n_samples levels [n_seqs, n_samples].
+
+        The returned array is an ASYNC device array: it is safe to hand
+        to the next pipeline stage, and only blocks when materialized
+        (np.asarray) — enqueue-ahead serving loops overlap the tunnel
+        dispatch latency with playback for free.
+        """
+        if n_samples % self.cfg.lookback:
+            raise ValueError(
+                f"n_samples must be a multiple of lookback "
+                f"({self.cfg.lookback})")
+        if self.chunks_per_call == 1 or cond is not None:
+            return self._generate(n_samples, cond, speakers)
+        # buffered mode: one device call per K chunks
+        if self._buffer is None or self._buffer.shape[1] < n_samples:
+            fresh = self._generate(self.chunks_per_call * n_samples,
+                                   None, speakers)
+            self._buffer = (fresh if self._buffer is None
+                            or not self._buffer.shape[1]
+                            else jnp.concatenate(
+                                [self._buffer, fresh], axis=1))
+        out = self._buffer[:, :n_samples]
+        self._buffer = self._buffer[:, n_samples:]
+        return out
 
     def emit_waveform(self, n_samples: int, cond=None, speakers=None):
         levels = self.emit(n_samples, cond, speakers)

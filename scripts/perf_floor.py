@@ -37,6 +37,11 @@ FLOORS = {
     # measures 11.8-12.0 M/s since the VMEM-accounted chunking (round 2)
     "gen_conditioned_tts": 10_000_000.0,
     "train_step_ms_b128_seq1024": 48.0,
+    # config 2's own training mode (3-tier LSTM, batch 64): 26.9 ms
+    # measured round 3 with the Pallas LSTM sequence kernel (28.0 ms on
+    # the XLA scan) — the floor catches a fallback AND a kernel
+    # regression
+    "train_lstm3_step_ms_b64_seq1024": 33.0,
 }
 
 
@@ -65,15 +70,16 @@ def measure_generation(cfg, cond=None, n_rep=3):
     return BATCH * LENGTH / dt
 
 
-def measure_train_step(n_rep=8):
+def measure_train_step(cfg=None, b=128, t=1024, n_rep=8):
     from samplernn_pase_tpu.config import SampleRNNConfig
     from samplernn_pase_tpu.models import samplernn
     from samplernn_pase_tpu.train.optim import make_optimizer
     from samplernn_pase_tpu.train.trainer import make_train_step
 
-    cfg = SampleRNNConfig(frame_sizes=(16, 4), dim=1024, embed_dim=256,
-                          rnn_type="gru", compute_dtype="bfloat16")
-    b, t = 128, 1024
+    if cfg is None:
+        cfg = SampleRNNConfig(frame_sizes=(16, 4), dim=1024,
+                              embed_dim=256, rnn_type="gru",
+                              compute_dtype="bfloat16")
     params = samplernn.init_params(jax.random.PRNGKey(0), cfg)
     tx = make_optimizer(1e-3, 1.0)
     opt = tx.init(params)
@@ -121,6 +127,11 @@ def main():
     results["gen_conditioned_tts"] = measure_generation(cond_cfg, cond)
 
     results["train_step_ms_b128_seq1024"] = measure_train_step()
+
+    results["train_lstm3_step_ms_b64_seq1024"] = measure_train_step(
+        SampleRNNConfig(frame_sizes=(16, 4, 4), dim=1024, embed_dim=256,
+                        rnn_type="lstm", compute_dtype="bfloat16"),
+        b=64)
 
     for name, value in results.items():
         floor = FLOORS[name]

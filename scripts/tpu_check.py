@@ -178,6 +178,35 @@ def main():
                      == got4).mean()
             print(f"conditioned bf16 self-consistency: {self4:.4f}")
             assert self4 > 0.97, self4
+    # --- whole-sequence training kernels (GRU + LSTM) on hardware ---
+    # interpret-mode parity runs in CI; this is the real-chip check:
+    # f32 kernel loss AND gradients must match the XLA scan closely
+    # (TPU f32 matmul differs from the scan's only in reduction order)
+    import dataclasses
+    from samplernn_pase_tpu.models import samplernn as srnn_mod
+    for rt, fs in (("gru", (16, 4)), ("lstm", (16, 4, 4))):
+        cfgT = SampleRNNConfig(frame_sizes=fs, dim=128, embed_dim=32,
+                               rnn_type=rt, compute_dtype="float32")
+        cfgT_x = dataclasses.replace(cfgT, pallas_train_rnn=False)
+        pT = srnn_mod.init_params(jax.random.PRNGKey(5), cfgT)
+        stT = srnn_mod.initial_state(pT, cfgT, 4)
+        xT = jax.random.randint(jax.random.PRNGKey(6),
+                                (4, cfgT.lookback + 4 * cfgT.lookback),
+                                0, 256, jnp.int32)
+        yT = xT[:, cfgT.lookback:]
+
+        def lossT(p, c):
+            nll, _ = srnn_mod.loss_fn(p, c, xT, yT, stT)
+            return nll
+
+        lp, gp = jax.value_and_grad(lossT)(pT, cfgT)      # pallas
+        lx, gx = jax.value_and_grad(lossT)(pT, cfgT_x)    # xla scan
+        dl = abs(float(lp) - float(lx))
+        dg = max(float(jnp.max(jnp.abs(a - b)))
+                 for a, b in zip(jax.tree.leaves(gp), jax.tree.leaves(gx)))
+        print(f"train kernel {rt} f32 hw: dloss={dl:.2e} dgrad={dg:.2e}")
+        assert dl < 1e-4, dl
+        assert dg < 5e-3, dg
     print("TPU check OK")
 
 
