@@ -46,9 +46,15 @@ def init_joint(key, model_cfg: SampleRNNConfig, pase_cfg: PASEConfig,
 
 def joint_cond(pase_params, bn_state, model_cfg, pase_cfg, inputs, *,
                train: bool):
-    """Chunk levels [B, lookback+T] -> (cond [B, T//dec, D], bn_state)."""
-    wav = mu_law_decode(inputs[:, model_cfg.lookback:],
-                        model_cfg.q_levels)
+    """Chunk levels [B, lookback+T] -> (cond [B, T//dec, D], bn_state).
+
+    The waveform is reconstructed with the MODEL's codec (mu-law or
+    linear) so the encoder sees the same audio the quantizer encoded."""
+    from samplernn_pase_tpu.ops.mulaw import linear_dequantize
+    lv = inputs[:, model_cfg.lookback:]
+    wav = (linear_dequantize(lv, model_cfg.q_levels)
+           if model_cfg.codec == "linear"
+           else mu_law_decode(lv, model_cfg.q_levels))
     return pase_mod.pase_apply(pase_params, bn_state, wav, pase_cfg,
                                train=train)
 

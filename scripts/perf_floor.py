@@ -42,6 +42,9 @@ FLOORS = {
     # the XLA scan) — the floor catches a fallback AND a kernel
     # regression
     "train_lstm3_step_ms_b64_seq1024": 33.0,
+    # config 4 strict (PASE-in-graph joint step, b32 x seq1280): 18.8 ms
+    # measured round 3 fully warm
+    "train_joint_step_ms_b32_seq1280": 24.0,
 }
 
 
@@ -89,11 +92,46 @@ def measure_train_step(cfg=None, b=128, t=1024, n_rep=8):
     x = jnp.asarray(rng.integers(0, 256, (b, cfg.lookback + t), np.int32))
     y = x[:, cfg.lookback:]
     r = jnp.zeros((b,), jnp.float32)
-    params, opt, hid, nll = step(params, opt, hid, x, y, r)
+    # 3 warm calls: the first compiles for host-array layouts and a
+    # second compile can trigger for the DONATED output layouts
+    for _ in range(3):
+        params, opt, hid, nll = step(params, opt, hid, x, y, r)
     float(nll)
     t0 = time.perf_counter()
     for _ in range(n_rep):
         params, opt, hid, nll = step(params, opt, hid, x, y, r)
+    float(nll)
+    return (time.perf_counter() - t0) / n_rep * 1e3
+
+
+def measure_joint_step(b=32, t=1280, n_rep=8):
+    """Config 4 strict: PASE encoder + backward INSIDE the train step."""
+    from samplernn_pase_tpu.config import PASEConfig, SampleRNNConfig
+    from samplernn_pase_tpu.models import samplernn
+    from samplernn_pase_tpu.train import joint
+    from samplernn_pase_tpu.train.optim import make_optimizer
+
+    pcfg = PASEConfig()
+    cfg = SampleRNNConfig(frame_sizes=(16, 4), dim=1024, embed_dim=256,
+                          cond_dim=256, cond_rate=160,
+                          compute_dtype="bfloat16")
+    params, bn = joint.init_joint(jax.random.PRNGKey(0), cfg, pcfg)
+    tx = make_optimizer(1e-3, 1.0)
+    opt = tx.init(params)
+    hid = samplernn.initial_state(params["srnn"], cfg, b)
+    step = joint.make_joint_train_step(cfg, pcfg, tx)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.integers(0, 256, (b, cfg.lookback + t), np.int32))
+    y = x[:, cfg.lookback:]
+    r = jnp.zeros((b,), jnp.float32)
+    # 3 warm calls: call 1 compiles for host-array layouts, call 2 can
+    # recompile for the DONATED output layouts — time only steady state
+    for _ in range(3):
+        params, opt, bn, hid, nll = step(params, opt, bn, hid, x, y, r)
+    float(nll)
+    t0 = time.perf_counter()
+    for _ in range(n_rep):
+        params, opt, bn, hid, nll = step(params, opt, bn, hid, x, y, r)
     float(nll)
     return (time.perf_counter() - t0) / n_rep * 1e3
 
@@ -132,6 +170,8 @@ def main():
         SampleRNNConfig(frame_sizes=(16, 4, 4), dim=1024, embed_dim=256,
                         rnn_type="lstm", compute_dtype="bfloat16"),
         b=64)
+
+    results["train_joint_step_ms_b32_seq1280"] = measure_joint_step()
 
     for name, value in results.items():
         floor = FLOORS[name]

@@ -388,3 +388,25 @@ def test_dp_joint_train_step_matches_single_device():
     for a, e in zip(bl_s, bl_u):
         np.testing.assert_allclose(np.asarray(a), np.asarray(e),
                                    atol=1e-4, rtol=1e-4)
+
+
+def test_joint_trainer_with_mesh_runs():
+    """JointTrainer(mesh=...) end-to-end on the 8-device CPU mesh:
+    params+bn replicated, batch/hiddens sharded, val finite."""
+    from samplernn_pase_tpu.config import PASEConfig, TrainConfig
+    from samplernn_pase_tpu.data.dataset import synthetic_corpus
+    from samplernn_pase_tpu.train.joint import JointTrainer
+
+    pcfg = PASEConfig(sinc_filters=8, sinc_kernel=33,
+                      blocks=((8, 5, 4), (12, 5, 4)), emb_dim=10,
+                      compute_dtype="float32")
+    cfg = SampleRNNConfig(frame_sizes=(4, 2), dim=16, embed_dim=8,
+                          cond_dim=10, cond_rate=16,
+                          compute_dtype="float32")
+    mesh = pm.make_mesh((8,), ("data",))
+    corpus = synthetic_corpus(n_utts=8, length=512, seed=11)
+    tcfg = TrainConfig(batch_size=8, seq_len=64, epochs=1)
+    t = JointTrainer(cfg, pcfg, tcfg, corpus, mesh=mesh)
+    t.run()
+    assert t.global_step > 0
+    assert np.isfinite(t.validate())
