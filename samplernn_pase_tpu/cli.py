@@ -435,6 +435,18 @@ def cmd_evaluate(args):
               file=sys.stderr)
     step = make_eval_step(exp.model)
     hiddens = samplernn.initial_state(params, exp.model, batch_size)
+    jc = None
+    if joint_encoder is not None and exp.model.cond_dim:
+        # jit the adapted-encoder conditioning once (an unjitted conv
+        # chain pays per-op dispatch on remote-attached hosts)
+        import jax as _jax
+        from samplernn_pase_tpu.train.joint import joint_cond as _jcond
+
+        @_jax.jit
+        def jc(pp, bs, x):
+            cond, _ = _jcond(pp, bs, exp.model, exp.pase, x,
+                             train=False)
+            return cond
     total, n_batches = 0.0, 0
     for item in corpus.batcher(args.split, batch_size, seq_len,
                                exp.model.lookback,
@@ -446,13 +458,11 @@ def cmd_evaluate(args):
         kwargs = {}
         if cond is not None:
             kwargs["cond"] = cond
-        elif joint_encoder is not None and exp.model.cond_dim:
+        elif jc is not None:
             # --joint checkpoint: conditioning comes from the adapted
             # encoder over the batch waveform, as in training
-            from samplernn_pase_tpu.train.joint import joint_cond
-            kwargs["cond"], _ = joint_cond(
-                joint_encoder[0], joint_encoder[1], exp.model,
-                exp.pase, chunk.inputs, train=False)
+            kwargs["cond"] = jc(joint_encoder[0], joint_encoder[1],
+                                np.asarray(chunk.inputs))
         if exp.model.n_speakers and chunk.speakers is not None:
             kwargs["speakers"] = chunk.speakers
         hiddens, nll = step(params, hiddens, chunk.inputs, chunk.targets,

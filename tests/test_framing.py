@@ -153,3 +153,38 @@ def test_equal_length_assignment_is_round_robin():
         got = [lane_chunk[0][8] for lane_chunk in sb.lanes[b]]
         assert got == [b, b + 4, b + 8]
     assert sb.coverage == 1.0
+
+
+def test_balanced_lanes_keep_cond_speaker_alignment():
+    """The greedy length-balanced assignment reorders which lane an
+    utterance lands on; its conditioning rows and speaker id must ride
+    with it (the (utt, cond, speaker) triplet is indivisible)."""
+    from samplernn_pase_tpu.ops.framing import StreamBatcher
+
+    seq_len, cond_rate, d = 32, 8, 3
+    rng = np.random.default_rng(7)
+    # uneven corpus: utterance i is (i % 3 + 1) chunks long; encode the
+    # utterance id into both the samples and the conditioning values
+    utts, conds, spks = [], [], []
+    for i in range(10):
+        n = (i % 3 + 1) * seq_len
+        utts.append(np.full(n, i, np.int32))
+        c = np.full((n // cond_rate, d), float(i), np.float32)
+        conds.append(c)
+        spks.append(i % 4)
+    sb = StreamBatcher(utts, batch_size=3, seq_len=seq_len, overlap=4,
+                       q_zero=0, conditioning=conds,
+                       cond_rate=cond_rate, speaker_ids=spks)
+    for item in sb:
+        chunk, cond = item
+        for b in range(3):
+            # the utterance id is readable from the samples (non-pad
+            # region); cond rows and speaker must carry the same id
+            vals = chunk.inputs[b][chunk.inputs[b] != 0]
+            if vals.size == 0:
+                continue     # fully padded tail chunk of a short utt
+            utt_id = int(vals[0])
+            rows = cond[b][np.any(cond[b] != 0.0, axis=1)]
+            if rows.size:
+                assert np.all(rows == float(utt_id)), (b, utt_id)
+            assert chunk.speakers[b] == utt_id % 4
