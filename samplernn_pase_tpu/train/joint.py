@@ -240,14 +240,14 @@ class JointTrainer(Trainer):
          nll) = self._train_step(
             self.params, self.opt_state, self.bn_state, self.hiddens,
             *args, **kwargs)
-        return [float(nll)]
+        return nll
 
     def _step_multi(self, staged, kwargs):
         (self.params, self.opt_state, self.bn_state, self.hiddens,
          nll_arr) = self._multi_step(
             self.params, self.opt_state, self.bn_state, self.hiddens,
             *staged, **kwargs)
-        return [float(v) for v in np.asarray(nll_arr)]
+        return nll_arr
 
     def _eval_call(self, hiddens, args, kwargs):
         return self._eval_step(self.params, self.bn_state, hiddens,

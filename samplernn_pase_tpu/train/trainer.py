@@ -306,6 +306,7 @@ class Trainer:
                                       # at; = end of the current dispatch
                                       # group (see CheckpointPlugin)
         self._trace_started = False
+        self._pending = None          # in-flight group (see _run_group)
         self.last_val_nll = None
         # True when the corpus has no held-out split and "val" batches
         # silently reuse train data (see ValidationPlugin/CheckpointPlugin)
@@ -410,6 +411,7 @@ class Trainer:
                              * self.train_cfg.seq_len)
         skip_until = self._resume_batch_idx   # -1 unless resuming
         self._resume_batch_idx = -1
+        self._pending = None
         k_call = max(1, self.train_cfg.steps_per_call)
         for epoch in range(self.epoch, epochs):
             self.epoch = epoch
@@ -431,9 +433,13 @@ class Trainer:
             # distinct tail size
             for it in group:
                 self._run_group([it], samples_per_chunk)
+            # epoch boundary: the boundary plugins (validation, epoch
+            # logs) must observe the fully-trained epoch
+            self._flush_pending()
             skip_until = -1
             for p in self.plugins:
                 p.on_epoch_end(self, epoch)
+        self._flush_pending()
         for p in self.plugins:
             p.on_train_end(self)
         return self
@@ -441,10 +447,21 @@ class Trainer:
     def _run_group(self, group, samples_per_chunk):
         """Train a group of consecutive chunks: one device dispatch via
         the in-jit K-step scan when the group has >1 item, else the
-        single-step path. Plugin hooks fire once per sub-step with that
-        step's NLL; the data cursor (batch_idx) is pinned to the LAST
-        index of the group so a checkpoint taken mid-group never causes
-        chunks already folded into the saved params to be retrained."""
+        single-step path.
+
+        Software-pipelined (round 3): the NEXT group's host staging +
+        device_put runs while the PREVIOUS group computes (the upload
+        through a remote-attached host's tunnel is otherwise serialized
+        with compute), then the previous group is finalized (per-step
+        NLL materialization + plugin hooks) BEFORE this group's step is
+        enqueued — so every plugin still observes exactly the state its
+        step number implies, and the math is identical to the unpiped
+        loop.  The data cursor (batch_idx) is pinned to the LAST index
+        of the group at dispatch so a checkpoint taken mid-group never
+        causes chunks already folded into the saved params to be
+        retrained."""
+        staged = self._stage_group(group)   # overlaps previous compute
+        self._flush_pending()               # plugins for previous group
         # profiling hook (SURVEY.md §5): trace around the dispatch that
         # covers step 10, stop once step 12 has executed — start/stop
         # bracket real device work even when one group spans both
@@ -456,29 +473,45 @@ class Trainer:
                 self._trace_started = True
         t0 = time.time()
         self.batch_idx = group[-1][0]
+        kind, args, kwargs = staged
+        if kind == "single":
+            nlls = self._step_single(args, kwargs)
+        else:
+            nlls = self._step_multi(args, kwargs)
+        self._pending = (nlls, len(group), t0, samples_per_chunk)
+
+    def _stage_group(self, group):
+        """Host-assemble and device_put one group's batches (async)."""
         if len(group) == 1:
             chunk, cond = self._split_batch(group[0][1])
             args = self._put(chunk.inputs, chunk.targets,
                              chunk.resets.astype(np.float32))
-            kwargs = self._cond_kwargs(chunk, cond)
-            nlls = self._step_single(args, kwargs)
-        else:
-            chunks, conds = zip(*(self._split_batch(it) for _, it in group))
-            xs, ys, rs = self._put_staged(
-                np.stack([c.inputs for c in chunks]),
-                np.stack([c.targets for c in chunks]),
-                np.stack([c.resets for c in chunks]).astype(np.float32))
-            kwargs = {}
-            if conds[0] is not None:
-                kwargs["cond"] = self._put_staged(np.stack(conds))[0]
-            if (self.model_cfg.n_speakers
-                    and chunks[0].speakers is not None):
-                kwargs["speakers"] = self._put_staged(
-                    np.stack([c.speakers for c in chunks]))[0]
-            nlls = self._step_multi((xs, ys, rs), kwargs)
-        dt = (time.time() - t0) / len(group)
+            return ("single", args, self._cond_kwargs(chunk, cond))
+        chunks, conds = zip(*(self._split_batch(it) for _, it in group))
+        xs, ys, rs = self._put_staged(
+            np.stack([c.inputs for c in chunks]),
+            np.stack([c.targets for c in chunks]),
+            np.stack([c.resets for c in chunks]).astype(np.float32))
+        kwargs = {}
+        if conds[0] is not None:
+            kwargs["cond"] = self._put_staged(np.stack(conds))[0]
+        if (self.model_cfg.n_speakers
+                and chunks[0].speakers is not None):
+            kwargs["speakers"] = self._put_staged(
+                np.stack([c.speakers for c in chunks]))[0]
+        return ("multi", (xs, ys, rs), kwargs)
+
+    def _flush_pending(self):
+        """Materialize the in-flight group's NLLs and fire its plugin
+        hooks. No-op when nothing is pending."""
+        if self._pending is None:
+            return
+        nlls_obj, n_group, t0, samples_per_chunk = self._pending
+        self._pending = None
+        nlls = [float(v) for v in np.asarray(nlls_obj).reshape(-1)]
+        dt = (time.time() - t0) / n_group
         if (self.train_cfg.profile_dir and self._trace_started
-                and self.global_step + len(group) > 12):
+                and self.global_step + n_group > 12):
             jax.profiler.stop_trace()
             self._trace_started = False
         self.resume_next_step = self.global_step + len(nlls)
@@ -495,18 +528,20 @@ class Trainer:
             self.global_step += 1
 
     def _step_single(self, args, kwargs):
-        """One train step; returns the per-step NLL list (len 1)."""
+        """One train step; returns the per-step NLLs as a DEVICE array
+        (materialized later by _flush_pending so the next group's
+        upload can overlap this group's compute)."""
         (self.params, self.opt_state, self.hiddens,
          nll) = self._train_step(
             self.params, self.opt_state, self.hiddens, *args, **kwargs)
-        return [float(nll)]
+        return nll
 
     def _step_multi(self, staged, kwargs):
-        """K staged train steps in one dispatch; per-step NLL list."""
+        """K staged train steps in one dispatch; device NLL array."""
         (self.params, self.opt_state, self.hiddens,
          nll_arr) = self._multi_step(
             self.params, self.opt_state, self.hiddens, *staged, **kwargs)
-        return [float(v) for v in np.asarray(nll_arr)]
+        return nll_arr
 
     def _eval_call(self, hiddens, args, kwargs):
         return self._eval_step(self.params, hiddens, *args, **kwargs)
