@@ -288,19 +288,9 @@ def cmd_generate(args):
             sys.exit(f"--cond{'-wav' if args.cond_wav else ''}: expected "
                      f"[frames, {exp.model.cond_dim}] embedding, got "
                      f"{emb.shape}")
-        # clamp-extend to cover the full generation (as GeneratorPlugin
-        # does): a stream shorter than length/cond_rate would otherwise
-        # leave later megakernel chunks with an empty cond slice
-        need = -(-length // exp.model.cond_rate)
-        if emb.shape[0] < need:
-            emb = np.concatenate(
-                [emb, np.broadcast_to(
-                    emb[-1:], (need - emb.shape[0], emb.shape[1]))])
-        # ... and trim a longer one (a full-utterance stream): generation
-        # reads only `need` rows, and speaker_cond broadcasts the speaker
-        # embedding over exactly [n, need, D] (GeneratorPlugin does the
-        # same trim)
-        emb = emb[:need]
+        # clamp-extend/trim to exactly cover the generation (same
+        # contract as GeneratorPlugin — see generate.fit_cond_stream)
+        emb = gen.fit_cond_stream(emb, -(-length // exp.model.cond_rate))
         cond = np.broadcast_to(emb[None], (n, *emb.shape))
     speakers = None
     if args.speaker is not None:

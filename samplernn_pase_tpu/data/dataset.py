@@ -166,10 +166,12 @@ class WavCorpus:
     def batcher(self, split: str, batch_size: int, seq_len: int,
                 overlap: int, cond_rate: int | None = None,
                 shuffle_seed: int | None = None) -> StreamBatcher:
-        """shuffle_seed permutes utterance->lane assignment (the TBPTT
-        analogue of the reference DataLoader's shuffle: chunk order
-        within an utterance must stay sequential for state carry, so
-        only the utterance order varies between epochs)."""
+        """shuffle_seed varies the data order per epoch (the TBPTT
+        analogue of the reference DataLoader's shuffle): it permutes
+        the utterance list (which sets length-balanced lane assignment
+        tie-breaks) AND the order of each lane's utterances inside
+        StreamBatcher; chunk order within an utterance stays sequential
+        for state carry."""
         idx = {"train": self.train_idx, "val": self.val_idx,
                "test": self.test_idx}[split]
         if not idx:
@@ -191,7 +193,8 @@ class WavCorpus:
         return StreamBatcher(
             utts, batch_size, seq_len, overlap,
             q_zero=mulaw.quantize_zero(self.q_levels),
-            conditioning=conds, cond_rate=cond_rate, speaker_ids=spks)
+            conditioning=conds, cond_rate=cond_rate, speaker_ids=spks,
+            shuffle_seed=shuffle_seed)
 
 
 def synthetic_corpus(n_utts: int = 8, length: int = 32_768,

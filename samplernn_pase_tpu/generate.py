@@ -24,11 +24,30 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from samplernn_pase_tpu.config import SampleRNNConfig
 from samplernn_pase_tpu.models import frame_rnn, sample_mlp, samplernn
 from samplernn_pase_tpu.ops.mulaw import (
     levels_to_float, linear_dequantize, mu_law_decode, quantize_zero)
+
+
+def fit_cond_stream(cond, n_frames: int):
+    """Clamp-extend (repeat the last row) or trim a conditioning stream
+    to exactly ``n_frames`` rows along axis -2. Accepts [T, D] or
+    [B, T, D] numpy-likes; returns float32 numpy. The one definition of
+    the pad/trim every cond consumer (CLI generate, GeneratorPlugin,
+    JointTrainer artifacts) must agree on: too-short streams would
+    leave later decode chunks with an empty cond slice, too-long ones
+    break the [*, n_frames, D] speaker-embedding broadcast."""
+    cond = np.asarray(cond, np.float32)
+    t = cond.shape[-2]
+    if t < n_frames:
+        pad = np.broadcast_to(
+            cond[..., -1:, :],
+            (*cond.shape[:-2], n_frames - t, cond.shape[-1]))
+        cond = np.concatenate([cond, pad], axis=-2)
+    return cond[..., :n_frames, :]
 
 
 def _tier_states_step(params, cfg, hist, states, k, upper_vec, ext_vec):
@@ -316,7 +335,7 @@ def _generate_full(params, cfg, n_seqs, length, temperature, key, hist,
                     rows = jnp.concatenate([rows, pad], axis=0)
                 return rows
 
-            cond_kw = dict(
+            cond_kw.update(
                 cond_rate=cfg.cond_rate,
                 ext_proj=tuple(rows_of(e) for e in ext_all),
                 cond_offsets=jnp.asarray([s0, r0], jnp.int32))
@@ -499,6 +518,7 @@ class StreamingGenerator:
         self.use_pallas = use_pallas
         self.chunks_per_call = max(1, int(chunks_per_call))
         self._buffer = None        # pending levels [n, m] (device array)
+        self._buffer_speakers = None   # speakers the buffer was made for
         self.states = samplernn.initial_state(params, cfg, n_seqs)
         self.hist = jnp.full((n_seqs, cfg.lookback),
                              quantize_zero(cfg.q_levels), jnp.int32)
@@ -536,12 +556,37 @@ class StreamingGenerator:
             raise ValueError(
                 f"n_samples must be a multiple of lookback "
                 f"({self.cfg.lookback})")
-        if self.chunks_per_call == 1 or cond is not None:
+        if self.chunks_per_call == 1:
             return self._generate(n_samples, cond, speakers)
-        # buffered mode: one device call per K chunks
+        # buffered mode: the decode STATE is already ahead of the served
+        # samples, so conditioning/speaker changes while lookahead audio
+        # is pending cannot be honored (the buffered samples were
+        # generated without them) — hard error instead of serving stale
+        # audio or skipping samples
+        pending = (self._buffer is not None and self._buffer.shape[1])
+        if cond is not None:
+            if pending:
+                raise ValueError(
+                    "emit(cond=...) with pending lookahead audio: the "
+                    f"buffer holds {self._buffer.shape[1]} samples "
+                    "generated without this conditioning. Use "
+                    "chunks_per_call=1 for conditioned streams.")
+            return self._generate(n_samples, cond, speakers)
+        spk = None if speakers is None else np.asarray(speakers)
+        if pending and not (
+                (spk is None and self._buffer_speakers is None)
+                or (spk is not None and self._buffer_speakers is not None
+                    and np.array_equal(spk, self._buffer_speakers))):
+            raise ValueError(
+                "emit(speakers=...) changed while lookahead audio is "
+                "pending; the buffered samples were generated for "
+                f"speakers={self._buffer_speakers}. Use "
+                "chunks_per_call=1 for per-chunk speaker switching.")
+        # one device call per K chunks
         if self._buffer is None or self._buffer.shape[1] < n_samples:
             fresh = self._generate(self.chunks_per_call * n_samples,
                                    None, speakers)
+            self._buffer_speakers = spk
             self._buffer = (fresh if self._buffer is None
                             or not self._buffer.shape[1]
                             else jnp.concatenate(

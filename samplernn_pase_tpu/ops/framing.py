@@ -88,8 +88,10 @@ class StreamBatcher:
     utterances this reduces exactly to round-robin (the stable sort
     keeps input order and the min-lane cycles 0..B-1).  Chunk order
     *within* an utterance stays sequential — the TBPTT state-carry
-    invariant — and which lane an utterance lands on still follows the
-    (possibly shuffled) input order deterministically.
+    invariant.  ``shuffle_seed`` permutes the order of each lane's
+    utterances (the longest-first packing is otherwise deterministic on
+    uneven corpora, so an input-order shuffle alone would be absorbed
+    by the sort): data order varies per epoch, balance is unchanged.
 
     Each utterance is padded on the left with ``overlap`` q_zero samples
     (generation seeds the same way, SURVEY.md §3.2) and on the right up to
@@ -106,6 +108,7 @@ class StreamBatcher:
         conditioning: Sequence[np.ndarray] | None = None,
         cond_rate: int | None = None,
         speaker_ids: Sequence[int] | None = None,
+        shuffle_seed: int | None = None,
     ):
         if conditioning is not None and len(conditioning) != len(utterances):
             raise ValueError("one conditioning array per utterance required")
@@ -132,17 +135,36 @@ class StreamBatcher:
 
         # lane -> list of (inputs, targets, is_first, cond_chunk, speaker)
         self.lanes: list[list] = [[] for _ in range(batch_size)]
-        # greedy bin-packing: longest-first (stable), onto the lane with
-        # the fewest chunks so far (ties -> lowest lane index)
+        # phase 1 — greedy bin-packing assignment: longest-first
+        # (stable), onto the lane with the fewest chunks so far (ties ->
+        # lowest lane index)
         counts = [max(1, int(np.ceil(len(np.asarray(u)) / seq_len)))
                   for u in utterances]
         order = sorted(range(len(utterances)), key=lambda u: -counts[u])
         lane_tot = np.zeros(batch_size, np.int64)
         self.total_chunks = int(sum(counts))
+        lane_utts: list[list] = [[] for _ in range(batch_size)]
         for u in order:
-            utt = utterances[u]
             lane = int(np.argmin(lane_tot))
             lane_tot[lane] += counts[u]
+            lane_utts[lane].append(u)
+        # phase 2 — epoch stochasticity under the balanced assignment:
+        # the longest-first sort makes the packing deterministic on
+        # uneven corpora (a pre-shuffle of the input list only permutes
+        # equal-length ties), so the per-epoch shuffle instead permutes
+        # the ORDER of each lane's utterances — data order varies every
+        # epoch while chunk order within an utterance stays sequential
+        # (the TBPTT invariant) and the balance is untouched
+        if shuffle_seed is not None:
+            rng = np.random.default_rng(shuffle_seed)
+            for lane in range(batch_size):
+                lane_utts[lane] = [
+                    lane_utts[lane][j]
+                    for j in rng.permutation(len(lane_utts[lane]))]
+        # phase 3 — materialize chunks lane by lane
+        for lane in range(batch_size):
+          for u in lane_utts[lane]:
+            utt = utterances[u]
             spk = speaker_ids[u] if speaker_ids is not None else 0
             utt = np.asarray(utt)
             n_chunks = counts[u]

@@ -31,7 +31,7 @@ from samplernn_pase_tpu.config import PASEConfig, SampleRNNConfig
 from samplernn_pase_tpu.models import pase as pase_mod
 from samplernn_pase_tpu.models import samplernn
 from samplernn_pase_tpu.ops.mulaw import mu_law_decode
-from samplernn_pase_tpu.train.trainer import Trainer
+from samplernn_pase_tpu.train.trainer import Plugin, Trainer
 
 
 def init_joint(key, model_cfg: SampleRNNConfig, pase_cfg: PASEConfig,
@@ -278,32 +278,19 @@ class JointTrainer(Trainer):
         emb, _ = pase_mod.pase_apply(
             self.params["pase"], self.bn_state, wav[None], self.pase_cfg,
             train=False)
-        emb = np.asarray(emb[0], np.float32)        # [frames, D]
-        if emb.shape[0] < n_frames:                 # clamp-extend
-            emb = np.concatenate(
-                [emb, np.broadcast_to(
-                    emb[-1:], (n_frames - emb.shape[0], emb.shape[1]))])
-        emb = emb[:n_frames]
+        from samplernn_pase_tpu.generate import fit_cond_stream
+        emb = fit_cond_stream(np.asarray(emb[0]), n_frames)  # [frames,D]
         return np.broadcast_to(emb[None], (n_seqs, *emb.shape))
 
 
-class _CollectLosses:
+class _CollectLosses(Plugin):
     """Tiny plugin used by run_joint_training's return contract."""
 
     def __init__(self):
         self.losses = []
 
-    def on_train_start(self, trainer):
-        pass
-
     def on_step(self, trainer, step, metrics):
         self.losses.append(metrics["nll_bits"])
-
-    def on_epoch_end(self, trainer, epoch):
-        pass
-
-    def on_train_end(self, trainer):
-        pass
 
 
 def run_joint_training(model_cfg: SampleRNNConfig, pase_cfg: PASEConfig,

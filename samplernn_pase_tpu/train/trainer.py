@@ -228,13 +228,9 @@ class GeneratorPlugin(Plugin):
                     f"GeneratorPlugin: {len(speakers)} speaker ids but "
                     f"{cond.shape[0]} conditioning sequences")
             n = cond.shape[0]
-            need = -(-self.length // cfg.cond_rate)
-            if cond.shape[1] < need:   # clamp-extend the stream
-                pad = np.broadcast_to(
-                    cond[:, -1:], (n, need - cond.shape[1], cond.shape[2]))
-                cond = np.concatenate([cond, pad], axis=1)
-            cond = cond[:, :need]      # and trim a too-long one (a full
-            # utterance stream vs speaker_cond's [n, need, D] broadcast)
+            from samplernn_pase_tpu.generate import fit_cond_stream
+            cond = fit_cond_stream(
+                cond, -(-self.length // cfg.cond_rate))
         if cond is None and cfg.cond_dim:
             # no static stream: ask the trainer (the joint mode embeds a
             # corpus utterance through its CURRENT adapted encoder so

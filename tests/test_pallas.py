@@ -457,3 +457,29 @@ def test_generate_levels_sampled_interpret_runs():
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert np.any(np.asarray(a) != np.asarray(c))
     assert a.shape == (2, t)
+
+
+def test_megakernel_sampled_conditioned_interpret():
+    """Review regression (r3): conditioned + speaker sampled decode in
+    interpret mode must take the host-noise megakernel (the cond kwarg
+    rebuild used to clobber the Gumbel buffer and crash on the missing
+    CPU PRNG)."""
+    cfg = SampleRNNConfig(frame_sizes=(4, 2), dim=16, embed_dim=8,
+                          cond_dim=6, cond_rate=8, n_speakers=3,
+                          compute_dtype="float32")
+    params = samplernn.init_params(jax.random.PRNGKey(6), cfg)
+    t = cfg.lookback * 3
+    rng = np.random.default_rng(6)
+    cond = jnp.asarray(rng.normal(size=(2, t // cfg.cond_rate, 6)),
+                       jnp.float32)
+    out = gen.generate_levels(
+        params, cfg, 2, t, temperature=1.0, key=jax.random.PRNGKey(2),
+        cond=cond, speakers=np.array([0, 2], np.int32),
+        use_pallas="interpret")
+    assert out.shape == (2, t)
+    # same key reproduces; different key diverges (real sampling)
+    out2 = gen.generate_levels(
+        params, cfg, 2, t, temperature=1.0, key=jax.random.PRNGKey(2),
+        cond=cond, speakers=np.array([0, 2], np.int32),
+        use_pallas="interpret")
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))

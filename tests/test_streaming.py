@@ -125,3 +125,24 @@ def test_buffered_cond_bypasses_buffer():
     ref = gen.StreamingGenerator(params, cfg, 2, temperature=None)
     b = np.asarray(ref.emit(lb * 2, cond=jnp.asarray(cond)))
     np.testing.assert_array_equal(a, b)
+
+
+def test_buffered_rejects_stale_cond_and_speaker_switch():
+    """Review regression (r3): buffered lookahead cannot honor cond or
+    speaker changes (the decode state is past the buffered samples) —
+    hard error instead of stale audio."""
+    cfg = SampleRNNConfig(frame_sizes=(4, 2), dim=16, embed_dim=8,
+                          cond_dim=6, cond_rate=8, n_speakers=3,
+                          compute_dtype="float32")
+    params = samplernn.init_params(jax.random.PRNGKey(5), cfg)
+    lb = cfg.lookback
+    sg = gen.StreamingGenerator(params, cfg, 2, temperature=None,
+                                chunks_per_call=4)
+    sg.emit(lb, speakers=np.array([0, 1], np.int32))  # fills lookahead
+    with pytest.raises(ValueError, match="pending lookahead"):
+        sg.emit(lb, cond=jnp.zeros((2, 1, 6)))
+    with pytest.raises(ValueError, match="speakers"):
+        sg.emit(lb, speakers=np.array([2, 2], np.int32))
+    # unchanged speakers keep serving from the buffer
+    out = sg.emit(lb, speakers=np.array([0, 1], np.int32))
+    assert out.shape == (2, lb)
