@@ -361,6 +361,82 @@ def cmd_generate(args):
     mgr.close()
 
 
+def cmd_stream(args):
+    """Chunked streaming synthesis: decode chunk-by-chunk through
+    StreamingGenerator (state carried across chunks — the serving
+    path), report per-chunk latency, write one wav. The in-process
+    mirror of a realtime serving loop; see examples/serving_stream.py
+    for the enqueue-ahead pattern."""
+    import time
+
+    import jax
+    import numpy as np
+    from samplernn_pase_tpu import config as C
+    from samplernn_pase_tpu import generate as gen
+    from samplernn_pase_tpu.ops.audio_io import write_wav
+    from samplernn_pase_tpu.train.checkpoint import CheckpointManager
+
+    exp_dir = Path(args.ckpt)
+    exp = C.load_config(exp_dir / "config.json")
+    mgr = CheckpointManager(exp_dir / "ckpt")
+    restored = mgr.restore(step=_pick_step(args, mgr))
+    if restored is None:
+        sys.exit(f"no checkpoint under {exp_dir}/ckpt")
+    params, _ = _split_restored(exp, restored)
+    gcfg = exp.generate
+    sr = gcfg.sample_rate
+    lb = exp.model.lookback
+    # chunk = requested ms rounded up to a lookback multiple
+    chunk = -(-int(sr * (args.chunk_ms or 64) / 1000) // lb) * lb
+    n_chunks = max(1, -(-int(sr * (args.seconds or 2.0)) // chunk))
+    temp = args.temperature if args.temperature is not None \
+        else gcfg.temperature
+    sg = gen.StreamingGenerator(
+        params, exp.model, n_seqs=1, temperature=temp or None,
+        key=jax.random.PRNGKey(args.seed if args.seed is not None
+                               else gcfg.seed),
+        chunks_per_call=args.chunks_per_call or 1)
+    speakers = None
+    if args.speaker is not None:
+        if not exp.model.n_speakers:
+            sys.exit("--speaker requires a model trained with n_speakers")
+        speakers = np.full((1,), args.speaker, np.int32)
+    if args.seed_wav:
+        from samplernn_pase_tpu.data.dataset import _quantize_host
+        from samplernn_pase_tpu.ops.audio_io import read_wav, resample
+        x, in_sr = read_wav(args.seed_wav)
+        if in_sr != sr:
+            x = resample(x, in_sr, sr)
+        sg.prime(_quantize_host(x, exp.model.q_levels,
+                                exp.model.codec)[None],
+                 speakers=speakers)
+        print(f"[stream] primed on {len(x)} samples from {args.seed_wav}",
+              file=sys.stderr)
+    np.asarray(sg.emit(chunk, speakers=speakers))     # warm/compile
+    sg2_levels, times = [], []
+    for _ in range(n_chunks):
+        t0 = time.perf_counter()
+        levels = sg.emit(chunk, speakers=speakers)
+        sg2_levels.append(np.asarray(levels))
+        times.append(time.perf_counter() - t0)
+    from samplernn_pase_tpu.ops.mulaw import (
+        linear_dequantize, mu_law_decode)
+    levels = np.concatenate(sg2_levels, axis=1)[0]
+    wav = np.asarray(
+        linear_dequantize(levels, exp.model.q_levels)
+        if exp.model.codec == "linear"
+        else mu_law_decode(levels, exp.model.q_levels))
+    write_wav(args.out, wav, sr)
+    ms = np.asarray(times) * 1e3
+    chunk_ms = chunk / sr * 1e3
+    print(f"[stream] {n_chunks} x {chunk}-sample chunks "
+          f"({chunk_ms:.0f} ms audio each): median {np.median(ms):.1f} ms"
+          f"/chunk, worst {ms.max():.1f} ms -> "
+          f"{chunk_ms / np.median(ms):.2f}x realtime; wrote "
+          f"{len(wav) / sr:.2f}s to {args.out}", file=sys.stderr)
+    mgr.close()
+
+
 def _pick_step(args, mgr):
     """--step N > --best (lowest recorded val NLL) > latest."""
     if getattr(args, "step", None) is not None:
@@ -536,6 +612,25 @@ def main(argv=None):
     pg.add_argument("--step", type=int,
                     help="use this exact checkpoint step")
     pg.set_defaults(fn=cmd_generate)
+
+    ps = sub.add_parser("stream",
+                        help="chunked streaming synthesis (serving path)")
+    ps.add_argument("--ckpt", required=True, help="experiment dir")
+    ps.add_argument("--out", required=True, help="output wav path")
+    ps.add_argument("--seconds", type=float, default=None)
+    ps.add_argument("--chunk-ms", dest="chunk_ms", type=float,
+                    default=None, help="audio per chunk (default 64 ms)")
+    ps.add_argument("--chunks-per-call", dest="chunks_per_call",
+                    type=int, default=None,
+                    help="lookahead chunks per device call")
+    ps.add_argument("--temperature", type=float)
+    ps.add_argument("--seed", type=int)
+    ps.add_argument("--speaker", type=int)
+    ps.add_argument("--seed-wav", dest="seed_wav",
+                    help="wav to continue from (primes decoder state)")
+    ps.add_argument("--best", action="store_true")
+    ps.add_argument("--step", type=int)
+    ps.set_defaults(fn=cmd_stream)
 
     pv = sub.add_parser("evaluate",
                         help="held-out NLL (bits/sample) of a checkpoint")

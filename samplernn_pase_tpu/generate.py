@@ -96,7 +96,8 @@ def _decode_tier(params, cfg, k, hist, states, key, pos, cond, upper_vec,
                 ext.astype(dt), params["tiers"][0]["w_cond"].astype(dt),
                 preferred_element_type=jnp.float32)
         key, sub = jax.random.split(key)
-        temp = out["temperature"] if out["temperature"] else 0.0
+        temp = (0.0 if out["temperature"] is None
+                else out["temperature"])
         samples, h_new = fused_tier_frame_decode(
             hist[:, -f1:], up, states[0][0], temp, sub,
             params["tiers"][0], params["mlp"], q_levels=cfg.q_levels,
@@ -119,7 +120,8 @@ def _decode_tier(params, cfg, k, hist, states, key, pos, cond, upper_vec,
             from samplernn_pase_tpu.ops.pallas.decode import (
                 fused_frame_decode)
             key, sub = jax.random.split(key)
-            temp = out["temperature"] if out["temperature"] else 0.0
+            temp = (0.0 if out["temperature"] is None
+                else out["temperature"])
             samples = fused_frame_decode(
                 hist[:, -f1:], cond_rows, temp, sub, params["mlp"],
                 q_levels=cfg.q_levels, weights_dtype=cfg.compute_dtype,
@@ -362,6 +364,36 @@ def _generate_full(params, cfg, n_seqs, length, temperature, key, hist,
     return levels[:, :length]
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_steps",
+                                             "use_pallas", "greedy"))
+def _xla_generate(params, hist, states0, key, cond, temperature, *,
+                  cfg, n_steps, use_pallas, greedy):
+    """The scan-based decode as ONE jitted program (megakernel-
+    ineligible configs and the per-frame kernel path)."""
+    lookback = cfg.lookback
+    top = cfg.n_tiers - 1
+    n_seqs = hist.shape[0]
+
+    def body(carry, step_idx):
+        hist, states, key = carry
+        out = {"blocks": [], "temperature": None if greedy else temperature,
+               "pallas": use_pallas}
+        pos = step_idx * lookback
+        hist, states, key = _decode_tier(
+            params, cfg, top, hist, states, key, pos, cond, None, out)
+        block = jnp.concatenate(out["blocks"], axis=1)  # [B, lookback]
+        return (hist, states, key), block
+
+    (hist_f, states_f, _), blocks = jax.lax.scan(
+        body, (hist, states0, key), jnp.arange(n_steps))
+    # blocks [n_steps, B, lookback] -> [B, n_steps*lookback]
+    levels = jnp.moveaxis(blocks, 0, 1).reshape(n_seqs, n_steps * lookback)
+    return levels, states_f, hist_f
+
+
 def generate_levels(params, cfg: SampleRNNConfig, n_seqs: int, length: int,
                     temperature: float | None = 1.0, key=None, cond=None,
                     initial_states=None, hist=None,
@@ -401,28 +433,22 @@ def generate_levels(params, cfg: SampleRNNConfig, n_seqs: int, length: int,
                               return_state=return_state, cond=cond)
     lookback = cfg.lookback
     n_steps = -(-length // lookback)
-    top = cfg.n_tiers - 1
 
     if hist is None:
         hist = jnp.full((n_seqs, lookback), quantize_zero(cfg.q_levels),
                         jnp.int32)
     states0 = (initial_states if initial_states is not None
                else samplernn.initial_state(params, cfg, n_seqs))
-
-    def body(carry, step_idx):
-        hist, states, key = carry
-        out = {"blocks": [], "temperature": temperature,
-               "pallas": use_pallas}
-        pos = step_idx * lookback
-        hist, states, key = _decode_tier(
-            params, cfg, top, hist, states, key, pos, cond, None, out)
-        block = jnp.concatenate(out["blocks"], axis=1)  # [B, lookback]
-        return (hist, states, key), block
-
-    (hist_f, states_f, _), blocks = jax.lax.scan(
-        body, (hist, states0, key), jnp.arange(n_steps))
-    # blocks [n_steps, B, lookback] -> [B, n_steps*lookback]
-    levels = jnp.moveaxis(blocks, 0, 1).reshape(n_seqs, n_steps * lookback)
+    # one jitted program per (cfg, n_steps, greedy, path): without this
+    # the pre/post ops (and for non-megakernel models the whole decode)
+    # dispatch eagerly — per-op host->device round-trips dominate on a
+    # tunnel-attached host (measured: 1.15 s vs ~45 ms per 64 ms chunk
+    # for a small non-megakernel model through StreamingGenerator)
+    levels, states_f, hist_f = _xla_generate(
+        params, hist, tuple(states0), key, cond,
+        jnp.float32(temperature if temperature is not None else 1.0),
+        cfg=cfg, n_steps=n_steps, use_pallas=use_pallas,
+        greedy=temperature is None)
     if return_state:
         return levels[:, :length], states_f, hist_f
     return levels[:, :length]

@@ -348,3 +348,28 @@ def test_cli_joint_full_trainer_contract(tmp_path):
     out = json.loads(buf.getvalue())
     assert out["held_out"] is True
     assert np.isfinite(out["nll_bits"])
+
+
+def test_cli_stream_verb(wav_dir, tmp_path):
+    """`stream`: chunked serving synthesis from a checkpoint — state
+    carried across chunks, one wav out, per-chunk latency report."""
+    from samplernn_pase_tpu import cli
+    exp = tmp_path / "exp_stream"
+    cli.main([
+        "train", "--dataset", str(wav_dir), "--exp-dir", str(exp),
+        "--frame_sizes", "4", "2", "--dim", "16", "--embed_dim", "8",
+        "--batch_size", "2", "--seq_len", "256", "--epochs", "1",
+    ])
+    out = tmp_path / "stream.wav"
+    cli.main(["stream", "--ckpt", str(exp), "--out", str(out),
+              "--seconds", "0.05", "--chunk-ms", "16",
+              "--temperature", "0.9", "--seed", "3"])
+    y, sr = read_wav(out)
+    assert sr == 16_000 and len(y) >= 256 and np.isfinite(y).all()
+    # buffered lookahead variant
+    out2 = tmp_path / "stream2.wav"
+    cli.main(["stream", "--ckpt", str(exp), "--out", str(out2),
+              "--seconds", "0.05", "--chunk-ms", "16",
+              "--chunks-per-call", "4", "--temperature", "0"])
+    y2, _ = read_wav(out2)
+    assert len(y2) >= 256

@@ -215,3 +215,47 @@ def test_shuffle_varies_epoch_order_on_uneven_corpus():
     assert a == b                  # same seed -> same epoch order
     assert a != c                  # different seed -> different order
     assert cov_a == cov_b == cov_c >= 0.9
+
+
+def test_batcher_invariants_fuzz():
+    """Property fuzz over corpus shapes/seeds: within every lane,
+    (1) resets fire exactly at utterance starts, (2) each utterance's
+    chunks appear sequentially (left-context overlap matches the
+    previous chunk's tail), and (3) consumed chunks = len(batcher) per
+    lane with coverage = consumed/total."""
+    from samplernn_pase_tpu.ops.framing import StreamBatcher
+
+    rng = np.random.default_rng(0)
+    for trial in range(8):
+        b = int(rng.integers(1, 5))
+        seq_len = int(rng.choice([16, 32, 48]))
+        overlap = int(rng.choice([4, 8]))
+        n_utts = int(rng.integers(b, b * 4 + 1))
+        utts = [rng.integers(1, 250, int(rng.integers(
+            1, 4 * seq_len))).astype(np.int32) for _ in range(n_utts)]
+        seed = int(rng.integers(0, 100)) if trial % 2 else None
+        sb = StreamBatcher(utts, b, seq_len, overlap, q_zero=0,
+                           shuffle_seed=seed)
+        chunks = list(sb)
+        assert len(chunks) == len(sb)
+        n_lane_chunks = [len(lane) for lane in sb.lanes]
+        assert sb.coverage == (len(sb) * b / sb.total_chunks
+                               if sb.total_chunks else 1.0)
+        for lane in range(b):
+            prev_tail = None
+            for k, chunk in enumerate(chunks):
+                window = chunk.inputs[lane]
+                is_first = bool(chunk.resets[lane])
+                if is_first:
+                    # fresh stream: left context is all q_zero padding
+                    assert np.all(window[:overlap] == 0)
+                elif prev_tail is not None:
+                    # continuation: left context == previous chunk tail
+                    np.testing.assert_array_equal(
+                        window[:overlap], prev_tail)
+                prev_tail = window[-overlap:]
+            # resets per lane == number of utterances assigned to it
+            n_resets = sum(bool(c.resets[lane]) for c in chunks)
+            n_expected = sum(1 for (w, t, first, c_, s_) in
+                             sb.lanes[lane][:len(sb)] if first)
+            assert n_resets == n_expected
