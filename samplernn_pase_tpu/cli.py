@@ -347,11 +347,7 @@ def cmd_generate(args):
         jax.random.PRNGKey(flag("seed", gcfg.seed)),
         cond=None if cond is None else np.asarray(cond),
         speakers=speakers, **prime_kw)
-    from samplernn_pase_tpu.ops.mulaw import (
-        linear_dequantize, mu_law_decode)
-    wav = (linear_dequantize(levels, exp.model.q_levels)
-           if exp.model.codec == "linear"
-           else mu_law_decode(levels, exp.model.q_levels))
+    wav = gen.decode_waveform(levels, exp.model)
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
     for i in range(n):
@@ -391,6 +387,13 @@ def cmd_stream(args):
     n_chunks = max(1, -(-int(sr * (args.seconds or 2.0)) // chunk))
     temp = args.temperature if args.temperature is not None \
         else gcfg.temperature
+    if exp.model.cond_dim and not exp.model.n_speakers:
+        # a PASE-conditioned model decoded without its stream feeds a
+        # distribution it never saw (same hazard evaluate warns about)
+        print("[warn] this checkpoint was trained with external "
+              "conditioning (cond_dim set); `stream` decodes without a "
+              "conditioning stream — use `generate --cond/--cond-wav` "
+              "for conditioned synthesis", file=sys.stderr)
     sg = gen.StreamingGenerator(
         params, exp.model, n_seqs=1, temperature=temp or None,
         key=jax.random.PRNGKey(args.seed if args.seed is not None
@@ -400,7 +403,15 @@ def cmd_stream(args):
     if args.speaker is not None:
         if not exp.model.n_speakers:
             sys.exit("--speaker requires a model trained with n_speakers")
+        if not 0 <= args.speaker < exp.model.n_speakers:
+            sys.exit(f"--speaker {args.speaker} out of range "
+                     f"[0, {exp.model.n_speakers})")
         speakers = np.full((1,), args.speaker, np.int32)
+    # warm/compile on a throwaway chunk, then RESET so the served audio
+    # starts at the true beginning (and the seed continuation starts at
+    # the seed's first continuation sample, not one chunk past it)
+    np.asarray(sg.emit(chunk, speakers=speakers))
+    sg.reset()
     if args.seed_wav:
         from samplernn_pase_tpu.data.dataset import _quantize_host
         from samplernn_pase_tpu.ops.audio_io import read_wav, resample
@@ -412,20 +423,14 @@ def cmd_stream(args):
                  speakers=speakers)
         print(f"[stream] primed on {len(x)} samples from {args.seed_wav}",
               file=sys.stderr)
-    np.asarray(sg.emit(chunk, speakers=speakers))     # warm/compile
     sg2_levels, times = [], []
     for _ in range(n_chunks):
         t0 = time.perf_counter()
         levels = sg.emit(chunk, speakers=speakers)
         sg2_levels.append(np.asarray(levels))
         times.append(time.perf_counter() - t0)
-    from samplernn_pase_tpu.ops.mulaw import (
-        linear_dequantize, mu_law_decode)
     levels = np.concatenate(sg2_levels, axis=1)[0]
-    wav = np.asarray(
-        linear_dequantize(levels, exp.model.q_levels)
-        if exp.model.codec == "linear"
-        else mu_law_decode(levels, exp.model.q_levels))
+    wav = np.asarray(gen.decode_waveform(levels, exp.model))
     write_wav(args.out, wav, sr)
     ms = np.asarray(times) * 1e3
     chunk_ms = chunk / sr * 1e3

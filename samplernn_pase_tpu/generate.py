@@ -501,15 +501,21 @@ def prime(params, cfg: SampleRNNConfig, levels, cond=None, speakers=None,
     return states, hist
 
 
+def decode_waveform(levels, cfg: SampleRNNConfig):
+    """Quantized levels -> float waveform in [-1, 1] with the MODEL's
+    codec — the one place the mu-law/linear dispatch lives."""
+    if cfg.codec == "linear":
+        return linear_dequantize(levels, cfg.q_levels)
+    return mu_law_decode(levels, cfg.q_levels)
+
+
 def generate(params, cfg: SampleRNNConfig, n_seqs: int, length: int,
              temperature: float | None = 1.0, key=None, cond=None,
              use_pallas: bool | str | None = None, speakers=None):
     """Generate float waveforms [n_seqs, length] in [-1, 1]."""
     levels = generate_levels(params, cfg, n_seqs, length, temperature, key,
                              cond, use_pallas=use_pallas, speakers=speakers)
-    if cfg.codec == "linear":
-        return linear_dequantize(levels, cfg.q_levels)
-    return mu_law_decode(levels, cfg.q_levels)
+    return decode_waveform(levels, cfg)
 
 
 class StreamingGenerator:
@@ -621,11 +627,20 @@ class StreamingGenerator:
         self._buffer = self._buffer[:, n_samples:]
         return out
 
+    def reset(self):
+        """Back to a fresh stream: initial state, q_zero history, no
+        lookahead (e.g. after a warm-up/compile emit)."""
+        self.states = samplernn.initial_state(self.params, self.cfg,
+                                              self.n)
+        self.hist = jnp.full((self.n, self.cfg.lookback),
+                             quantize_zero(self.cfg.q_levels), jnp.int32)
+        self._buffer = None
+        self._buffer_speakers = None
+        return self
+
     def emit_waveform(self, n_samples: int, cond=None, speakers=None):
-        levels = self.emit(n_samples, cond, speakers)
-        if self.cfg.codec == "linear":
-            return linear_dequantize(levels, self.cfg.q_levels)
-        return mu_law_decode(levels, self.cfg.q_levels)
+        return decode_waveform(self.emit(n_samples, cond, speakers),
+                               self.cfg)
 
 
 def make_generator(cfg: SampleRNNConfig, n_seqs: int, length: int,

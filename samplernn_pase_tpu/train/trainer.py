@@ -412,23 +412,32 @@ class Trainer:
         for epoch in range(self.epoch, epochs):
             self.epoch = epoch
             group: list = []
-            for i, item in enumerate(self._batcher("train")):
-                if i <= skip_until:
-                    # exact mid-epoch resume: the checkpoint carries the
-                    # data cursor and the TBPTT hidden states, so we
-                    # fast-forward past already-trained chunks (including
-                    # chunk 0 — the cursor is the last *trained* index)
-                    continue
-                group.append((i, item))
-                if len(group) == k_call:
-                    self._run_group(group, samples_per_chunk)
-                    group = []
-            # epoch tail smaller than steps_per_call: run it through the
-            # single-step path — a [r, B, ...] staged scan would be a new
-            # jit signature and recompile the whole step program per
-            # distinct tail size
-            for it in group:
-                self._run_group([it], samples_per_chunk)
+            try:
+                for i, item in enumerate(self._batcher("train")):
+                    if i <= skip_until:
+                        # exact mid-epoch resume: the checkpoint carries
+                        # the data cursor and the TBPTT hidden states, so
+                        # we fast-forward past already-trained chunks
+                        # (including chunk 0 — the cursor is the last
+                        # *trained* index)
+                        continue
+                    group.append((i, item))
+                    if len(group) == k_call:
+                        self._run_group(group, samples_per_chunk)
+                        group = []
+                # epoch tail smaller than steps_per_call: run it through
+                # the single-step path — a [r, B, ...] staged scan would
+                # be a new jit signature and recompile the whole step
+                # program per distinct tail size
+                for it in group:
+                    self._run_group([it], samples_per_chunk)
+            except BaseException:
+                # the pipelined group is already trained on-device; fire
+                # its plugin hooks (checkpoint cadence included) before
+                # propagating, so an exception during the NEXT group's
+                # batcher read or staging never loses durable progress
+                self._flush_pending()
+                raise
             # epoch boundary: the boundary plugins (validation, epoch
             # logs) must observe the fully-trained epoch
             self._flush_pending()

@@ -373,3 +373,41 @@ def test_cli_stream_verb(wav_dir, tmp_path):
               "--chunks-per-call", "4", "--temperature", "0"])
     y2, _ = read_wav(out2)
     assert len(y2) >= 256
+
+
+def test_cli_stream_seed_wav_starts_at_continuation(wav_dir, tmp_path):
+    """Review regression (r3): the warm-up emit must not advance the
+    primed state — `stream --seed-wav` output (greedy) equals the
+    primed one-shot continuation from sample 0."""
+    import jax
+    from samplernn_pase_tpu import cli
+    from samplernn_pase_tpu import config as C
+    from samplernn_pase_tpu import generate as gen
+    from samplernn_pase_tpu.data.dataset import _quantize_host
+    from samplernn_pase_tpu.train.checkpoint import CheckpointManager
+
+    exp = tmp_path / "exp_sw"
+    cli.main([
+        "train", "--dataset", str(wav_dir), "--exp-dir", str(exp),
+        "--frame_sizes", "4", "2", "--dim", "16", "--embed_dim", "8",
+        "--batch_size", "2", "--seq_len", "256", "--epochs", "1",
+    ])
+    seed_wav = sorted(wav_dir.glob("*.wav"))[0]
+    out = tmp_path / "sw.wav"
+    cli.main(["stream", "--ckpt", str(exp), "--out", str(out),
+              "--seconds", "0.02", "--chunk-ms", "8",
+              "--temperature", "0", "--seed-wav", str(seed_wav)])
+    got, sr = read_wav(out)
+
+    ecfg = C.load_config(exp / "config.json")
+    mgr = CheckpointManager(exp / "ckpt")
+    params = mgr.restore()["params"]
+    mgr.close()
+    x, _ = read_wav(seed_wav)
+    lv = _quantize_host(x, ecfg.model.q_levels, ecfg.model.codec)
+    states, hist = gen.prime(params, ecfg.model, lv[None])
+    ref_levels = gen.generate_levels(
+        params, ecfg.model, 1, len(got), temperature=None,
+        initial_states=states, hist=hist)
+    ref = np.asarray(gen.decode_waveform(ref_levels, ecfg.model))[0]
+    np.testing.assert_allclose(got, ref, atol=1e-4)

@@ -477,9 +477,15 @@ def test_megakernel_sampled_conditioned_interpret():
         cond=cond, speakers=np.array([0, 2], np.int32),
         use_pallas="interpret")
     assert out.shape == (2, t)
-    # same key reproduces; different key diverges (real sampling)
+    # same key reproduces; different key diverges (real sampling — a
+    # dropped/zeroed gumbel buffer would make these identical)
     out2 = gen.generate_levels(
         params, cfg, 2, t, temperature=1.0, key=jax.random.PRNGKey(2),
         cond=cond, speakers=np.array([0, 2], np.int32),
         use_pallas="interpret")
     np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+    out3 = gen.generate_levels(
+        params, cfg, 2, t, temperature=1.0, key=jax.random.PRNGKey(3),
+        cond=cond, speakers=np.array([0, 2], np.int32),
+        use_pallas="interpret")
+    assert np.any(np.asarray(out) != np.asarray(out3))
