@@ -378,7 +378,7 @@ def cmd_stream(args):
     restored = mgr.restore(step=_pick_step(args, mgr))
     if restored is None:
         sys.exit(f"no checkpoint under {exp_dir}/ckpt")
-    params, _ = _split_restored(exp, restored)
+    params, joint_encoder = _split_restored(exp, restored)
     gcfg = exp.generate
     sr = gcfg.sample_rate
     lb = exp.model.lookback
@@ -387,18 +387,41 @@ def cmd_stream(args):
     n_chunks = max(1, -(-int(sr * (args.seconds or 2.0)) // chunk))
     temp = args.temperature if args.temperature is not None \
         else gcfg.temperature
-    if exp.model.cond_dim and not exp.model.n_speakers:
+    cond = None
+    if args.cond or args.cond_wav:
+        from samplernn_pase_tpu import config as C
+        if not (exp.model.cond_dim and exp.model.cond_rate):
+            sys.exit("--cond/--cond-wav require a model trained with "
+                     "conditioning (cond_dim/cond_rate); this checkpoint "
+                     "has none")
+        if args.cond:
+            emb = np.load(args.cond)
+        else:
+            emb = np.asarray(_embed_wav(
+                args.cond_wav, exp.pase or C.PASEConfig(),
+                joint_encoder, args.pase_ckpt))
+        if emb.ndim != 2 or emb.shape[1] != exp.model.cond_dim:
+            sys.exit(f"--cond{'-wav' if args.cond_wav else ''}: expected "
+                     f"[frames, {exp.model.cond_dim}] embedding, got "
+                     f"{emb.shape}")
+        # one stream covering the whole utterance; the generator advances
+        # through it chunk by chunk (clamp-extends past the end)
+        cond = gen.fit_cond_stream(
+            emb, -(-(n_chunks * chunk) // exp.model.cond_rate))
+    elif exp.model.cond_dim and not exp.model.n_speakers:
         # a PASE-conditioned model decoded without its stream feeds a
         # distribution it never saw (same hazard evaluate warns about)
         print("[warn] this checkpoint was trained with external "
-              "conditioning (cond_dim set); `stream` decodes without a "
-              "conditioning stream — use `generate --cond/--cond-wav` "
-              "for conditioned synthesis", file=sys.stderr)
+              "conditioning (cond_dim set); pass --cond/--cond-wav to "
+              "stream conditioned synthesis — decoding UNCONDITIONED",
+              file=sys.stderr)
     sg = gen.StreamingGenerator(
         params, exp.model, n_seqs=1, temperature=temp or None,
         key=jax.random.PRNGKey(args.seed if args.seed is not None
                                else gcfg.seed),
         chunks_per_call=args.chunks_per_call or 1)
+    if cond is not None:
+        sg.set_cond(cond)
     speakers = None
     if args.speaker is not None:
         if not exp.model.n_speakers:
@@ -424,20 +447,42 @@ def cmd_stream(args):
         print(f"[stream] primed on {len(x)} samples from {args.seed_wav}",
               file=sys.stderr)
     sg2_levels, times = [], []
-    for _ in range(n_chunks):
-        t0 = time.perf_counter()
-        levels = sg.emit(chunk, speakers=speakers)
-        sg2_levels.append(np.asarray(levels))
-        times.append(time.perf_counter() - t0)
+    if args.blocked:
+        # reference loop: materialize each chunk inside the timed region
+        # (per-chunk latency bears the full dispatch+transfer round-trip)
+        for _ in range(n_chunks):
+            t0 = time.perf_counter()
+            levels = sg.emit(chunk, speakers=speakers)
+            sg2_levels.append(np.asarray(levels))
+            times.append(time.perf_counter() - t0)
+    else:
+        # enqueue-ahead serving loop (default): enqueue chunk i (async
+        # device array), THEN materialize chunk i-1 — the device computes
+        # chunk i while the host drains i-1, so steady-state per-chunk
+        # latency is max(compute, transfer) instead of their sum.
+        # Output is bit-identical to the blocked loop (same emit calls).
+        prev = None
+        for _ in range(n_chunks):
+            t0 = time.perf_counter()
+            cur = sg.emit(chunk, speakers=speakers)
+            if prev is not None:
+                sg2_levels.append(np.asarray(prev))
+            prev = cur
+            times.append(time.perf_counter() - t0)
+        sg2_levels.append(np.asarray(prev))
     levels = np.concatenate(sg2_levels, axis=1)[0]
     wav = np.asarray(gen.decode_waveform(levels, exp.model))
     write_wav(args.out, wav, sr)
     ms = np.asarray(times) * 1e3
+    # steady state excludes the first call (no overlapped materialization
+    # yet in enqueue-ahead mode; compile/cache warmth otherwise)
+    steady = ms[1:] if len(ms) > 1 else ms
     chunk_ms = chunk / sr * 1e3
-    print(f"[stream] {n_chunks} x {chunk}-sample chunks "
-          f"({chunk_ms:.0f} ms audio each): median {np.median(ms):.1f} ms"
-          f"/chunk, worst {ms.max():.1f} ms -> "
-          f"{chunk_ms / np.median(ms):.2f}x realtime; wrote "
+    mode = "blocked" if args.blocked else "enqueue-ahead"
+    print(f"[stream] {mode}: {n_chunks} x {chunk}-sample chunks "
+          f"({chunk_ms:.0f} ms audio each): median {np.median(steady):.1f}"
+          f" ms/chunk, worst {steady.max():.1f} ms -> "
+          f"{chunk_ms / np.median(steady):.2f}x realtime; wrote "
           f"{len(wav) / sr:.2f}s to {args.out}", file=sys.stderr)
     mgr.close()
 
@@ -481,12 +526,14 @@ def cmd_evaluate(args):
         codec=exp.model.codec, sample_rate=tcfg.sample_rate)
     held_out = bool({"val": corpus.val_idx,
                      "test": corpus.test_idx}.get(args.split))
-    # splits smaller than batch_size recycle utterances into lanes
-    # (dataset.batcher) — the reported NLL then double-counts utterances,
-    # so surface the effective count and a recycled flag alongside it
     split_idx = ({"train": corpus.train_idx, "val": corpus.val_idx,
                   "test": corpus.test_idx}[args.split]
                  or corpus.train_idx)
+    # splits smaller than batch_size would recycle utterances into lanes
+    # (dataset.batcher) and double-count them — run at the split's size
+    # instead so every utterance is scored exactly once
+    if len(split_idx) < batch_size:
+        batch_size = len(split_idx)
     # what conditioning the eval actually uses — a cond_dim model
     # evaluated with NONE (forgotten --cond-dir) reports a misleading
     # NLL, so tag it and warn
@@ -518,7 +565,10 @@ def cmd_evaluate(args):
             cond, _ = _jcond(pp, bs, exp.model, exp.pase, x,
                              train=False)
             return cond
-    total, n_batches = 0.0, 0
+    # per-batch masked means weighted by each batch's REAL sample count
+    # (tail padding excluded — C2/C13 parity); NLLs stay device arrays
+    # until the end (one sync, not one per batch)
+    nlls, weights = [], []
     for item in corpus.batcher(args.split, batch_size, seq_len,
                                exp.model.lookback,
                                cond_rate=exp.model.cond_rate or None):
@@ -536,22 +586,31 @@ def cmd_evaluate(args):
                                 np.asarray(chunk.inputs))
         if exp.model.n_speakers and chunk.speakers is not None:
             kwargs["speakers"] = chunk.speakers
+        if chunk.valid is not None and np.any(
+                chunk.valid < chunk.targets.shape[-1]):
+            kwargs["valid"] = chunk.valid
         hiddens, nll = step(params, hiddens, chunk.inputs, chunk.targets,
                             chunk.resets.astype(np.float32), **kwargs)
-        total += float(nll)
-        n_batches += 1
+        nlls.append(nll)
+        weights.append(float(np.sum(chunk.valid))
+                       if chunk.valid is not None
+                       else float(np.size(chunk.targets)))
     mgr.close()
+    n_batches = len(nlls)
+    w = np.asarray(weights)
+    vals = np.asarray([float(v) for v in nlls])
+    mean = float(np.sum(vals * w) / max(np.sum(w), 1.0)) if n_batches \
+        else 0.0
     out = {
         "split": args.split,
-        "nll_bits": round(total / max(n_batches, 1), 6),
+        "nll_bits": round(mean, 6),
         "batches": n_batches,
+        "samples": int(np.sum(w)),
         "held_out": held_out,   # False = split was empty, train fallback
         "utterances": len(split_idx),
+        "batch_size": batch_size,
         "step": int(restored["step"]),
     }
-    if len(split_idx) < batch_size:
-        out["recycled"] = True  # utterances repeated across lanes: the
-        # NLL is a biased per-utterance estimate (see batcher recycling)
     if exp.model.cond_dim:
         out["conditioning"] = conditioning
     print(json.dumps(out))
@@ -631,8 +690,18 @@ def main(argv=None):
     ps.add_argument("--temperature", type=float)
     ps.add_argument("--seed", type=int)
     ps.add_argument("--speaker", type=int)
+    ps.add_argument("--cond", help=".npy PASE embedding stream for TTS")
+    ps.add_argument("--cond-wav", dest="cond_wav",
+                    help="condition the stream on this wav's PASE "
+                         "embedding (joint ckpt encoder or --pase-ckpt)")
+    ps.add_argument("--pase-ckpt", dest="pase_ckpt",
+                    help="torch PASE ckpt for --cond-wav on non-joint "
+                         "experiments")
     ps.add_argument("--seed-wav", dest="seed_wav",
                     help="wav to continue from (primes decoder state)")
+    ps.add_argument("--blocked", action="store_true",
+                    help="materialize each chunk before emitting the "
+                         "next (default: enqueue-ahead pipelining)")
     ps.add_argument("--best", action="store_true")
     ps.add_argument("--step", type=int)
     ps.set_defaults(fn=cmd_stream)

@@ -42,6 +42,11 @@ def fit_cond_stream(cond, n_frames: int):
     break the [*, n_frames, D] speaker-embedding broadcast."""
     cond = np.asarray(cond, np.float32)
     t = cond.shape[-2]
+    if t == 0:
+        raise ValueError(
+            "empty conditioning stream: expected at least one "
+            f"[{'...,' if cond.ndim > 2 else ''}frames, dim] row, got "
+            f"shape {cond.shape}")
     if t < n_frames:
         pad = np.broadcast_to(
             cond[..., -1:, :],
@@ -255,7 +260,7 @@ def _full_kernel_eligible(cfg, cond, use_pallas, temperature, n_seqs):
 
 def _generate_full(params, cfg, n_seqs, length, temperature, key, hist,
                    initial_states, interpret, return_state=False,
-                   cond=None):
+                   cond=None, cond_pos0: int = 0, host_noise=False):
     """Whole-generation megakernel path, chunked to bound the VMEM
     output buffer (64 top frames = 4096 samples per call at B=128).
 
@@ -314,19 +319,25 @@ def _generate_full(params, cfg, n_seqs, length, temperature, key, hist,
         seed = jax.random.randint(sub, (), 0, jnp.iinfo(jnp.int32).max,
                                   dtype=jnp.int32)
         cond_kw = {}
-        if interpret and temperature is not None:
-            # no on-core PRNG off-TPU: ship per-bottom-frame Gumbel
-            # noise generated on the host (tiny CI shapes only)
+        if (interpret or host_noise) and temperature is not None:
+            # host-generated per-bottom-frame Gumbel noise: required off
+            # TPU (interpret mode has no on-core PRNG), and usable ON the
+            # chip too (an ordinary VMEM ref) — the hardware fixed-noise
+            # parity check feeds the same buffer to both paths
             f1 = cfg.frame_sizes[0]
             cond_kw["gumbel"] = jax.random.gumbel(
                 jax.random.fold_in(sub, 1),
                 (step_top * (lookback // f1), f1, n_seqs, cfg.q_levels),
                 jnp.float32)
         if ext_all is not None:
-            s0 = done * lookback
-            s1 = (done + step_top) * lookback
+            # cond_pos0: absolute sample offset of this call's first
+            # sample within the conditioning stream (streaming decode
+            # carries state across calls; row alignment must follow).
+            # `need` is alignment-independent (worst case + 1) so chunked
+            # streaming keeps one kernel signature regardless of offset.
+            s0 = cond_pos0 + done * lookback
             r0 = s0 // cfg.cond_rate
-            need = (s1 - 1) // cfg.cond_rate + 1 - r0
+            need = (step_top * lookback - 1) // cfg.cond_rate + 2
 
             def rows_of(ext):
                 rows = ext[r0:min(r0 + need, ext.shape[0])]
@@ -369,10 +380,13 @@ import functools
 
 @functools.partial(jax.jit, static_argnames=("cfg", "n_steps",
                                              "use_pallas", "greedy"))
-def _xla_generate(params, hist, states0, key, cond, temperature, *,
-                  cfg, n_steps, use_pallas, greedy):
+def _xla_generate(params, hist, states0, key, cond, temperature,
+                  cond_pos0, *, cfg, n_steps, use_pallas, greedy):
     """The scan-based decode as ONE jitted program (megakernel-
-    ineligible configs and the per-frame kernel path)."""
+    ineligible configs and the per-frame kernel path). ``cond_pos0`` is
+    the absolute sample offset into the conditioning stream (a traced
+    scalar — streaming decode passes the FULL stream each chunk with an
+    advancing offset, keeping ONE compiled program for every chunk)."""
     lookback = cfg.lookback
     top = cfg.n_tiers - 1
     n_seqs = hist.shape[0]
@@ -381,7 +395,7 @@ def _xla_generate(params, hist, states0, key, cond, temperature, *,
         hist, states, key = carry
         out = {"blocks": [], "temperature": None if greedy else temperature,
                "pallas": use_pallas}
-        pos = step_idx * lookback
+        pos = cond_pos0 + step_idx * lookback
         hist, states, key = _decode_tier(
             params, cfg, top, hist, states, key, pos, cond, None, out)
         block = jnp.concatenate(out["blocks"], axis=1)  # [B, lookback]
@@ -398,7 +412,7 @@ def generate_levels(params, cfg: SampleRNNConfig, n_seqs: int, length: int,
                     temperature: float | None = 1.0, key=None, cond=None,
                     initial_states=None, hist=None,
                     use_pallas: bool | str | None = None, speakers=None,
-                    return_state: bool = False):
+                    return_state: bool = False, cond_pos0: int = 0):
     """Generate quantized levels [n_seqs, length] with one fused scan.
 
     length is rounded up to a multiple of lookback internally and trimmed.
@@ -418,9 +432,13 @@ def generate_levels(params, cfg: SampleRNNConfig, n_seqs: int, length: int,
     """
     key = key if key is not None else jax.random.PRNGKey(0)
     if speakers is not None:
+        # the speaker embedding is broadcast over the WHOLE cond stream
+        # when one is given (streaming passes the full stream with an
+        # advancing cond_pos0), else over the frames this call generates
+        n_spk_frames = (cond.shape[-2] if cond is not None
+                        else max(-(-length // cfg.cond_rate), 1))
         cond = samplernn.speaker_cond(
-            params, cfg, jnp.asarray(speakers), cond,
-            max(-(-length // cfg.cond_rate), 1))
+            params, cfg, jnp.asarray(speakers), cond, n_spk_frames)
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if not temperature:
@@ -430,7 +448,8 @@ def generate_levels(params, cfg: SampleRNNConfig, n_seqs: int, length: int,
         return _generate_full(params, cfg, n_seqs, length, temperature,
                               key, hist, initial_states,
                               interpret=use_pallas == "interpret",
-                              return_state=return_state, cond=cond)
+                              return_state=return_state, cond=cond,
+                              cond_pos0=cond_pos0)
     lookback = cfg.lookback
     n_steps = -(-length // lookback)
 
@@ -447,6 +466,7 @@ def generate_levels(params, cfg: SampleRNNConfig, n_seqs: int, length: int,
     levels, states_f, hist_f = _xla_generate(
         params, hist, tuple(states0), key, cond,
         jnp.float32(temperature if temperature is not None else 1.0),
+        jnp.int32(cond_pos0),
         cfg=cfg, n_steps=n_steps, use_pallas=use_pallas,
         greedy=temperature is None)
     if return_state:
@@ -524,7 +544,12 @@ class StreamingGenerator:
     the decode-side mirror of TBPTT state carry.
 
     Chunk lengths must be multiples of cfg.lookback. Conditioned configs
-    stream per-chunk conditioning through ``emit(cond=...)``.
+    stream conditioning either per chunk through ``emit(cond=...)``
+    (chunks_per_call=1 only — the state may not run ahead of the cond)
+    or — the TTS serving path — via :meth:`set_cond`: the full
+    conditioning stream is supplied up front and the generator advances
+    through it with its sample cursor, so buffered lookahead
+    (chunks_per_call > 1) works conditioned too.
 
     ``chunks_per_call=K`` amortizes the per-dispatch host<->device cost
     (the dominant term at small batch on a remote-attached host — the
@@ -532,12 +557,10 @@ class StreamingGenerator:
     generates K×n samples in ONE device call and serves them from a
     buffer one chunk per call.  Greedy streams are bit-identical to
     K=1; sampled streams stay per-chunk deterministic in the key but
-    consume the key on a different schedule.  Buffered mode requires
-    the conditioning (if any) to be passed per ``emit`` covering the
-    whole K-chunk span, so it is only taken when ``cond is None``;
-    latency note: every K'th call bears the generation cost, so K > 1
-    trades worst-case call latency for average throughput — size K to
-    the audio buffer the serving layer already keeps.
+    consume the key on a different schedule.  Latency note: every K'th
+    call bears the generation cost, so K > 1 trades worst-case call
+    latency for average throughput — size K to the audio buffer the
+    serving layer already keeps.
     """
 
     def __init__(self, params, cfg: SampleRNNConfig, n_seqs: int,
@@ -546,14 +569,43 @@ class StreamingGenerator:
                  chunks_per_call: int = 1):
         self.params, self.cfg, self.n = params, cfg, n_seqs
         self.temperature = temperature
-        self.key = key if key is not None else jax.random.PRNGKey(0)
+        self._key0 = key if key is not None else jax.random.PRNGKey(0)
+        self.key = self._key0
         self.use_pallas = use_pallas
         self.chunks_per_call = max(1, int(chunks_per_call))
         self._buffer = None        # pending levels [n, m] (device array)
         self._buffer_speakers = None   # speakers the buffer was made for
+        self._cond_stream = None   # full [n, F, D] stream (set_cond)
+        self.pos = 0               # samples generated so far (cursor
+                                   # into the cond stream; >= served)
         self.states = samplernn.initial_state(params, cfg, n_seqs)
         self.hist = jnp.full((n_seqs, cfg.lookback),
                              quantize_zero(cfg.q_levels), jnp.int32)
+
+    def set_cond(self, cond):
+        """Attach the full conditioning stream for this utterance: cond
+        [frames, D] (broadcast over lanes) or [n_seqs, frames, D].
+        Row r conditions samples [r*cond_rate, (r+1)*cond_rate); decode
+        past the last row clamps to it (fit_cond_stream semantics).
+        The stream is device-resident once; each emit passes it with the
+        advancing sample cursor, so chunk boundaries need not align to
+        cond_rate and every chunk reuses ONE compiled program."""
+        if not (self.cfg.cond_dim and self.cfg.cond_rate):
+            raise ValueError(
+                "set_cond on a model without cond_dim/cond_rate")
+        cond = np.asarray(cond, np.float32)
+        if cond.ndim == 2:
+            cond = np.broadcast_to(cond[None], (self.n, *cond.shape))
+        if cond.ndim != 3 or cond.shape[0] != self.n \
+                or cond.shape[2] != self.cfg.cond_dim:
+            raise ValueError(
+                f"set_cond expects [frames, {self.cfg.cond_dim}] or "
+                f"[{self.n}, frames, {self.cfg.cond_dim}], got "
+                f"{cond.shape}")
+        if cond.shape[1] == 0:
+            raise ValueError("empty conditioning stream")
+        self._cond_stream = jnp.asarray(cond)
+        return self
 
     def prime(self, levels, cond=None, speakers=None,
               max_context: int = 32_768):
@@ -564,16 +616,21 @@ class StreamingGenerator:
             self.params, self.cfg, levels, cond=cond, speakers=speakers,
             max_context=max_context)
         self._buffer = None   # buffered lookahead predates the seed
+        self.pos = 0          # the cond stream covers GENERATED samples
         return self
 
     def _generate(self, n_samples: int, cond, speakers):
+        pos0 = 0
+        if cond is None and self._cond_stream is not None:
+            cond, pos0 = self._cond_stream, self.pos
         self.key, sub = jax.random.split(self.key)
         levels, states, hist = generate_levels(
             self.params, self.cfg, self.n, n_samples, self.temperature,
             sub, cond=cond, initial_states=self.states, hist=self.hist,
             use_pallas=self.use_pallas, speakers=speakers,
-            return_state=True)
+            return_state=True, cond_pos0=pos0)
         self.states, self.hist = states, hist
+        self.pos += n_samples
         return levels
 
     def emit(self, n_samples: int, cond=None, speakers=None):
@@ -614,13 +671,15 @@ class StreamingGenerator:
                 "pending; the buffered samples were generated for "
                 f"speakers={self._buffer_speakers}. Use "
                 "chunks_per_call=1 for per-chunk speaker switching.")
-        # one device call per K chunks
+        # one device call per K chunks; top up only to K*n_samples total
+        # so callers alternating chunk sizes never accumulate lookahead
+        # beyond K chunks (memory/latency drift)
         if self._buffer is None or self._buffer.shape[1] < n_samples:
-            fresh = self._generate(self.chunks_per_call * n_samples,
-                                   None, speakers)
+            have = 0 if self._buffer is None else self._buffer.shape[1]
+            fresh = self._generate(
+                self.chunks_per_call * n_samples - have, None, speakers)
             self._buffer_speakers = spk
-            self._buffer = (fresh if self._buffer is None
-                            or not self._buffer.shape[1]
+            self._buffer = (fresh if have == 0
                             else jnp.concatenate(
                                 [self._buffer, fresh], axis=1))
         out = self._buffer[:, :n_samples]
@@ -629,13 +688,19 @@ class StreamingGenerator:
 
     def reset(self):
         """Back to a fresh stream: initial state, q_zero history, no
-        lookahead (e.g. after a warm-up/compile emit)."""
+        lookahead, PRNG key back to the constructor's seed and the cond
+        cursor to 0 (e.g. after a warm-up/compile emit) — output after
+        reset() is identical to a newly constructed generator's. An
+        attached cond stream (set_cond) is kept; call set_cond for the
+        next utterance's stream."""
         self.states = samplernn.initial_state(self.params, self.cfg,
                                               self.n)
         self.hist = jnp.full((self.n, self.cfg.lookback),
                              quantize_zero(self.cfg.q_levels), jnp.int32)
         self._buffer = None
         self._buffer_speakers = None
+        self.key = self._key0
+        self.pos = 0
         return self
 
     def emit_waveform(self, n_samples: int, cond=None, speakers=None):

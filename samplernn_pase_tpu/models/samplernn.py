@@ -220,22 +220,36 @@ def forward(params: Params, cfg: SampleRNNConfig, inputs, state: State,
     return logits, tuple(new_states)
 
 
-def nll_bits(logits, targets):
+def nll_bits(logits, targets, valid=None):
     """Cross-entropy in bits/sample (C13; 'NLL parity', BASELINE.json:2).
 
     logsumexp-minus-onehot form: identical value to
     take_along_axis(log_softmax(...)) but avoids materializing the full
     [B, T, q] log-probability tensor and the per-element gather — the
-    one-hot select fuses into the reduction on TPU."""
+    one-hot select fuses into the reduction on TPU.
+
+    ``valid`` (int [B] or None): number of real target samples per lane;
+    positions >= valid[b] are q_zero tail padding from the batcher
+    (ops/framing.py) and are masked out — sum over picked positions /
+    sum of valid counts, matching the reference's drop-incomplete-tail
+    chunking semantics (SURVEY.md §2 C2). None = all positions real."""
     logits = logits.astype(jnp.float32)
     lse = jax.scipy.special.logsumexp(logits, axis=-1)
     oh = jax.nn.one_hot(targets, logits.shape[-1], dtype=logits.dtype)
     picked = jnp.sum(logits * oh, axis=-1)
-    return jnp.mean(lse - picked) / jnp.log(2.0)
+    nats = lse - picked                               # [B, T]
+    if valid is None:
+        return jnp.mean(nats) / jnp.log(2.0)
+    mask = (jnp.arange(nats.shape[-1])[None, :]
+            < valid[:, None]).astype(nats.dtype)
+    # all-padding batches (valid sums to 0) yield 0, not NaN
+    return (jnp.sum(nats * mask)
+            / jnp.maximum(jnp.sum(mask), 1.0)) / jnp.log(2.0)
 
 
 def loss_fn(params: Params, cfg: SampleRNNConfig, batch_inputs,
-            batch_targets, state: State, cond=None, speakers=None):
+            batch_targets, state: State, cond=None, speakers=None,
+            valid=None):
     logits, new_state = forward(params, cfg, batch_inputs, state, cond,
                                 speakers)
-    return nll_bits(logits, batch_targets), new_state
+    return nll_bits(logits, batch_targets, valid), new_state

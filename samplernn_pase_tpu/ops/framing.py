@@ -44,12 +44,19 @@ class TBPTTChunk(NamedTuple):
              trainer zeros that lane's hidden state.
     speakers: int32 [B] or None           — per-lane speaker id of the
              current utterance (multi-speaker corpora, C12).
+    valid:   int32 [B] or None            — number of REAL target samples
+             in each lane's window (the rest is q_zero right-tail padding
+             up to a whole chunk). The loss masks positions >= valid so
+             padded silence is never scored — the reference's
+             drop-incomplete-tail semantics expressed as a mask (SURVEY.md
+             §2 C2/C13). None (hand-built chunks) = all positions valid.
     """
 
     inputs: np.ndarray
     targets: np.ndarray
     resets: np.ndarray
     speakers: np.ndarray | None = None
+    valid: np.ndarray | None = None
 
 
 def chunk_for_tbptt(
@@ -95,7 +102,10 @@ class StreamBatcher:
 
     Each utterance is padded on the left with ``overlap`` q_zero samples
     (generation seeds the same way, SURVEY.md §3.2) and on the right up to
-    a whole number of seq_len chunks with q_zero.
+    a whole number of seq_len chunks with q_zero; the chunk's ``valid``
+    counts exclude that right-tail padding so the masked loss scores
+    exactly the samples the reference's drop-incomplete-tail chunking
+    would have scored (C2/C13 parity) while keeping shapes static.
     """
 
     def __init__(
@@ -184,8 +194,11 @@ class StreamBatcher:
                 if cond_frames is not None:
                     per_chunk = seq_len // cond_rate
                     cond_k = cond_frames[k * per_chunk : (k + 1) * per_chunk]
+                # real (non-padding) target samples in this chunk — the
+                # tail chunk of an utterance carries len(utt) % seq_len
+                valid = int(np.clip(len(utt) - k * seq_len, 0, seq_len))
                 self.lanes[lane].append(
-                    (window, window[overlap:], k == 0, cond_k, spk))
+                    (window, window[overlap:], k == 0, cond_k, spk, valid))
 
     def __len__(self) -> int:
         return min(len(lane) for lane in self.lanes) if self.batch_size else 0
@@ -244,7 +257,10 @@ class StreamBatcher:
                 speakers = np.array(
                     [self.lanes[b][k][4] for b in range(self.batch_size)],
                     np.int32)
-            chunk = TBPTTChunk(inputs, targets, resets, speakers)
+            valid = np.array(
+                [self.lanes[b][k][5] for b in range(self.batch_size)],
+                np.int32)
+            chunk = TBPTTChunk(inputs, targets, resets, speakers, valid)
             if self.cond_dim:
                 cond = np.stack(
                     [self.lanes[b][k][3] for b in range(self.batch_size)]

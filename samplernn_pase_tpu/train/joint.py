@@ -81,7 +81,7 @@ def make_joint_train_step(model_cfg: SampleRNNConfig,
     _check_cfgs(model_cfg, pase_cfg)
 
     def step(params, opt_state, bn_state, hiddens, inputs, targets,
-             resets, speakers=None):
+             resets, speakers=None, valid=None):
         hiddens = samplernn.reset_state(
             params["srnn"], model_cfg, hiddens, resets)
 
@@ -92,7 +92,7 @@ def make_joint_train_step(model_cfg: SampleRNNConfig,
                 cond = jax.lax.stop_gradient(cond)
             nll, new_h = samplernn.loss_fn(
                 p["srnn"], model_cfg, inputs, targets, hiddens, cond,
-                speakers)
+                speakers, valid)
             return nll, (new_h, new_bn)
 
         (nll, (new_h, new_bn)), grads = jax.value_and_grad(
@@ -115,21 +115,20 @@ def make_joint_multi_step(model_cfg: SampleRNNConfig,
     _check_cfgs(model_cfg, pase_cfg)
 
     def multi(params, opt_state, bn_state, hiddens, xs, ys, rs,
-              speakers=None):
+              speakers=None, valid=None):
         def one(carry, batch):
             params, opt_state, bn_state, hiddens = carry
-            x, y, r = batch[:3]
-            s = batch[3] if speakers is not None else None
             hiddens = samplernn.reset_state(
-                params["srnn"], model_cfg, hiddens, r)
+                params["srnn"], model_cfg, hiddens, batch["r"])
 
             def loss(p):
                 cond, new_bn = joint_cond(p["pase"], bn_state, model_cfg,
-                                          pase_cfg, x, train=True)
+                                          pase_cfg, batch["x"], train=True)
                 if freeze_pase:
                     cond = jax.lax.stop_gradient(cond)
                 nll, new_h = samplernn.loss_fn(
-                    p["srnn"], model_cfg, x, y, hiddens, cond, s)
+                    p["srnn"], model_cfg, batch["x"], batch["y"], hiddens,
+                    cond, batch.get("speakers"), batch.get("valid"))
                 return nll, (new_h, new_bn)
 
             (nll, (new_h, new_bn)), grads = jax.value_and_grad(
@@ -138,11 +137,12 @@ def make_joint_multi_step(model_cfg: SampleRNNConfig,
             params = optax.apply_updates(params, updates)
             return (params, opt_state, new_bn, new_h), nll
 
-        batches = [xs, ys, rs]
-        if speakers is not None:
-            batches.append(speakers)
+        batches = {"x": xs, "y": ys, "r": rs}
+        for k, v in (("speakers", speakers), ("valid", valid)):
+            if v is not None:
+                batches[k] = v
         (params, opt_state, bn_state, hiddens), nlls = jax.lax.scan(
-            one, (params, opt_state, bn_state, hiddens), tuple(batches))
+            one, (params, opt_state, bn_state, hiddens), batches)
         return params, opt_state, bn_state, hiddens, nlls
 
     return jax.jit(multi, donate_argnums=(0, 1, 2, 3))
@@ -155,17 +155,45 @@ def make_joint_eval_step(model_cfg: SampleRNNConfig,
     _check_cfgs(model_cfg, pase_cfg)
 
     def step(params, bn_state, hiddens, inputs, targets, resets,
-             speakers=None):
+             speakers=None, valid=None):
         hiddens = samplernn.reset_state(
             params["srnn"], model_cfg, hiddens, resets)
         cond, _ = joint_cond(params["pase"], bn_state, model_cfg,
                              pase_cfg, inputs, train=False)
         nll, new_h = samplernn.loss_fn(
             params["srnn"], model_cfg, inputs, targets, hiddens, cond,
-            speakers)
+            speakers, valid)
         return new_h, nll
 
     return jax.jit(step, donate_argnums=(2,))
+
+
+def make_joint_multi_eval_step(model_cfg: SampleRNNConfig,
+                               pase_cfg: PASEConfig):
+    """K staged joint eval batches per dispatch (the joint twin of
+    trainer.make_multi_eval_step)."""
+    _check_cfgs(model_cfg, pase_cfg)
+
+    def multi(params, bn_state, hiddens, xs, ys, rs, speakers=None,
+              valid=None):
+        def one(hiddens, batch):
+            hiddens = samplernn.reset_state(
+                params["srnn"], model_cfg, hiddens, batch["r"])
+            cond, _ = joint_cond(params["pase"], bn_state, model_cfg,
+                                 pase_cfg, batch["x"], train=False)
+            nll, new_h = samplernn.loss_fn(
+                params["srnn"], model_cfg, batch["x"], batch["y"],
+                hiddens, cond, batch.get("speakers"), batch.get("valid"))
+            return new_h, nll
+
+        batches = {"x": xs, "y": ys, "r": rs}
+        for k, v in (("speakers", speakers), ("valid", valid)):
+            if v is not None:
+                batches[k] = v
+        hiddens, nlls = jax.lax.scan(one, hiddens, batches)
+        return hiddens, nlls
+
+    return jax.jit(multi, donate_argnums=(2,))
 
 
 class JointTrainer(Trainer):
@@ -227,6 +255,9 @@ class JointTrainer(Trainer):
             if self.train_cfg.steps_per_call > 1 else None)
         self._eval_step = make_joint_eval_step(self.model_cfg,
                                                self.pase_cfg)
+        self._multi_eval_step = (
+            make_joint_multi_eval_step(self.model_cfg, self.pase_cfg)
+            if self.train_cfg.steps_per_call > 1 else None)
 
     def _cond_kwargs(self, chunk, cond):
         # conditioning is computed in-graph; only speaker ids ride along
@@ -253,12 +284,22 @@ class JointTrainer(Trainer):
         return self._eval_step(self.params, self.bn_state, hiddens,
                                *args, **kwargs)
 
+    def _multi_eval_call(self, hiddens, staged, kwargs):
+        return self._multi_eval_step(self.params, self.bn_state, hiddens,
+                                     *staged, **kwargs)
+
     def _ckpt_params(self):
         return {"joint": self.params, "bn": self.bn_state}
 
     def _set_ckpt_params(self, p):
         self.params = p["joint"]
         self.bn_state = p["bn"]
+        if self.mesh is not None:
+            # restore skips __init__'s mesh placement — recommit the BN
+            # state so a mesh resume never runs on unsharded host arrays
+            from samplernn_pase_tpu.parallel import mesh as pm
+            self.bn_state = jax.device_put(self.bn_state,
+                                           pm.replicated(self.mesh))
 
     def generation_cond(self, n_seqs: int, n_frames: int):
         """Embed a fixed corpus utterance (held-out when available)

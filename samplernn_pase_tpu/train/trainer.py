@@ -40,12 +40,12 @@ def make_train_step(cfg: SampleRNNConfig, tx: optax.GradientTransformation):
     """
 
     def step(params, opt_state, hiddens, inputs, targets, resets,
-             cond=None, speakers=None):
+             cond=None, speakers=None, valid=None):
         hiddens = samplernn.reset_state(params, cfg, hiddens, resets)
 
         def loss(p):
             return samplernn.loss_fn(p, cfg, inputs, targets, hiddens,
-                                     cond, speakers)
+                                     cond, speakers, valid)
 
         (nll, new_h), grads = jax.value_and_grad(loss, has_aux=True)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
@@ -68,16 +68,17 @@ def make_multi_train_step(cfg: SampleRNNConfig,
     """
 
     def multi(params, opt_state, hiddens, xs, ys, rs, cond=None,
-              speakers=None):
+              speakers=None, valid=None):
         def one(carry, batch):
             params, opt_state, hiddens = carry
-            x, y, r = batch[:3]
-            c = batch[3] if cond is not None else None
-            s = batch[-1] if speakers is not None else None
-            hiddens = samplernn.reset_state(params, cfg, hiddens, r)
+            hiddens = samplernn.reset_state(params, cfg, hiddens,
+                                            batch["r"])
 
             def loss(p):
-                return samplernn.loss_fn(p, cfg, x, y, hiddens, c, s)
+                return samplernn.loss_fn(
+                    p, cfg, batch["x"], batch["y"], hiddens,
+                    batch.get("cond"), batch.get("speakers"),
+                    batch.get("valid"))
 
             (nll, new_h), grads = jax.value_and_grad(
                 loss, has_aux=True)(params)
@@ -85,13 +86,13 @@ def make_multi_train_step(cfg: SampleRNNConfig,
             params = optax.apply_updates(params, updates)
             return (params, opt_state, new_h), nll
 
-        batches = [xs, ys, rs]
-        if cond is not None:
-            batches.append(cond)
-        if speakers is not None:
-            batches.append(speakers)
+        batches = {"x": xs, "y": ys, "r": rs}
+        for k, v in (("cond", cond), ("speakers", speakers),
+                     ("valid", valid)):
+            if v is not None:
+                batches[k] = v
         (params, opt_state, hiddens), nlls = jax.lax.scan(
-            one, (params, opt_state, hiddens), tuple(batches))
+            one, (params, opt_state, hiddens), batches)
         return params, opt_state, hiddens, nlls
 
     return jax.jit(multi, donate_argnums=(0, 1, 2))
@@ -99,13 +100,42 @@ def make_multi_train_step(cfg: SampleRNNConfig,
 
 def make_eval_step(cfg: SampleRNNConfig):
     def step(params, hiddens, inputs, targets, resets, cond=None,
-             speakers=None):
+             speakers=None, valid=None):
         hiddens = samplernn.reset_state(params, cfg, hiddens, resets)
         nll, new_h = samplernn.loss_fn(
-            params, cfg, inputs, targets, hiddens, cond, speakers)
+            params, cfg, inputs, targets, hiddens, cond, speakers, valid)
         return new_h, nll
 
     return jax.jit(step, donate_argnums=(1,))
+
+
+def make_multi_eval_step(cfg: SampleRNNConfig):
+    """K staged eval batches in ONE device dispatch (the validation twin
+    of make_multi_train_step — Weak #7: per-batch host syncs dominate
+    validation wall time on a tunnel-attached host). Batches are [K, B,
+    ...] arrays; returns (hiddens, nlls [K]), each nll the masked mean of
+    its batch."""
+
+    def multi(params, hiddens, xs, ys, rs, cond=None, speakers=None,
+              valid=None):
+        def one(hiddens, batch):
+            hiddens = samplernn.reset_state(params, cfg, hiddens,
+                                            batch["r"])
+            nll, new_h = samplernn.loss_fn(
+                params, cfg, batch["x"], batch["y"], hiddens,
+                batch.get("cond"), batch.get("speakers"),
+                batch.get("valid"))
+            return new_h, nll
+
+        batches = {"x": xs, "y": ys, "r": rs}
+        for k, v in (("cond", cond), ("speakers", speakers),
+                     ("valid", valid)):
+            if v is not None:
+                batches[k] = v
+        hiddens, nlls = jax.lax.scan(one, hiddens, batches)
+        return hiddens, nlls
+
+    return jax.jit(multi, donate_argnums=(1,))
 
 
 class Plugin:
@@ -332,6 +362,9 @@ class Trainer:
             make_multi_train_step(self.model_cfg, self.tx)
             if self.train_cfg.steps_per_call > 1 else None)
         self._eval_step = make_eval_step(self.model_cfg)
+        self._multi_eval_step = (
+            make_multi_eval_step(self.model_cfg)
+            if self.train_cfg.steps_per_call > 1 else None)
 
     def _ckpt_params(self):
         """What goes into the checkpoint's "params" slot (the joint mode
@@ -390,6 +423,17 @@ class Trainer:
             chunk, cond = item, None
         return chunk, cond
 
+    @staticmethod
+    def _needs_mask(chunk) -> bool:
+        """True when the batch carries q_zero tail padding that the loss
+        must mask. Fully-valid batches (the common case — every interior
+        chunk) skip the mask argument entirely: the unmasked mean is
+        mathematically identical, XLA compiles the exact program it
+        always did (K-step scan parity stays bit-exact), and the masked
+        signature is only ever compiled once padding actually appears."""
+        return (chunk.valid is not None
+                and bool(np.any(chunk.valid < chunk.targets.shape[-1])))
+
     def _cond_kwargs(self, chunk, cond):
         kwargs = {}
         if cond is not None:
@@ -435,8 +479,17 @@ class Trainer:
                 # the pipelined group is already trained on-device; fire
                 # its plugin hooks (checkpoint cadence included) before
                 # propagating, so an exception during the NEXT group's
-                # batcher read or staging never loses durable progress
-                self._flush_pending()
+                # batcher read or staging never loses durable progress.
+                # A failure inside the flush itself (e.g. checkpoint I/O)
+                # must not REPLACE the exception being propagated — log
+                # it and re-raise the original.
+                try:
+                    self._flush_pending()
+                except Exception as flush_exc:
+                    import sys
+                    print("[trainer] pending-group flush failed while "
+                          f"unwinding another exception: {flush_exc!r}",
+                          file=sys.stderr)
                 raise
             # epoch boundary: the boundary plugins (validation, epoch
             # logs) must observe the fully-trained epoch
@@ -491,7 +544,10 @@ class Trainer:
             chunk, cond = self._split_batch(group[0][1])
             args = self._put(chunk.inputs, chunk.targets,
                              chunk.resets.astype(np.float32))
-            return ("single", args, self._cond_kwargs(chunk, cond))
+            kwargs = self._cond_kwargs(chunk, cond)
+            if self._needs_mask(chunk):
+                kwargs["valid"] = self._put(chunk.valid)[0]
+            return ("single", args, kwargs)
         chunks, conds = zip(*(self._split_batch(it) for _, it in group))
         xs, ys, rs = self._put_staged(
             np.stack([c.inputs for c in chunks]),
@@ -504,6 +560,9 @@ class Trainer:
                 and chunks[0].speakers is not None):
             kwargs["speakers"] = self._put_staged(
                 np.stack([c.speakers for c in chunks]))[0]
+        if any(self._needs_mask(c) for c in chunks):
+            kwargs["valid"] = self._put_staged(
+                np.stack([c.valid for c in chunks]))[0]
         return ("multi", (xs, ys, rs), kwargs)
 
     def _flush_pending(self):
@@ -551,20 +610,58 @@ class Trainer:
     def _eval_call(self, hiddens, args, kwargs):
         return self._eval_step(self.params, hiddens, *args, **kwargs)
 
+    def _multi_eval_call(self, hiddens, staged, kwargs):
+        return self._multi_eval_step(self.params, hiddens, *staged,
+                                     **kwargs)
+
+    @staticmethod
+    def _chunk_weight(chunk) -> float:
+        """Valid (non-padding) target samples in a batch — the weight of
+        its masked-mean NLL in the split aggregate."""
+        if chunk.valid is not None:
+            return float(np.sum(chunk.valid))
+        return float(np.size(chunk.targets))
+
+    def _val_group(self, group, hiddens, nll_parts, w_parts):
+        """One validation dispatch (K staged batches, or one). NLLs stay
+        DEVICE arrays until the end of the split — a float() per batch
+        costs a full host round-trip on a tunnel-attached host."""
+        kind, args, kwargs = self._stage_group(
+            [(0, it) for it in group])
+        if kind == "single":
+            hiddens, nll = self._eval_call(hiddens, args, kwargs)
+        else:
+            hiddens, nll = self._multi_eval_call(hiddens, args, kwargs)
+        nll_parts.append(nll)
+        w_parts.append(np.asarray(
+            [self._chunk_weight(self._split_batch(it)[0])
+             for it in group]))
+        return hiddens
+
     def validate(self) -> float:
+        """Valid-sample-weighted held-out NLL (bits/sample): every batch's
+        masked mean is weighted by its real-sample count, so tail-padded
+        chunks neither score padding nor dilute the average."""
         hiddens = samplernn.initial_state(
             self._model_params(), self.model_cfg,
             self.train_cfg.batch_size)
-        total, n = 0.0, 0
+        k_call = (max(1, self.train_cfg.steps_per_call)
+                  if self._multi_eval_step is not None else 1)
+        group, nll_parts, w_parts = [], [], []
         for item in self._batcher("val"):
-            chunk, cond = self._split_batch(item)
-            args = self._put(chunk.inputs, chunk.targets,
-                             chunk.resets.astype(np.float32))
-            kwargs = self._cond_kwargs(chunk, cond)
-            hiddens, nll = self._eval_call(hiddens, args, kwargs)
-            total += float(nll)
-            n += 1
-        return total / max(n, 1)
+            group.append(item)
+            if len(group) == k_call:
+                hiddens = self._val_group(group, hiddens, nll_parts,
+                                          w_parts)
+                group = []
+        for it in group:   # tail: single-step path (see run())
+            hiddens = self._val_group([it], hiddens, nll_parts, w_parts)
+        if not nll_parts:
+            return 0.0
+        nlls = np.concatenate(
+            [np.asarray(p).reshape(-1) for p in nll_parts])
+        ws = np.concatenate(w_parts)
+        return float(np.sum(nlls * ws) / max(np.sum(ws), 1.0))
 
     # -- resume ----------------------------------------------------------
     def restore(self, manager) -> bool:

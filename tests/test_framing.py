@@ -256,6 +256,6 @@ def test_batcher_invariants_fuzz():
                 prev_tail = window[-overlap:]
             # resets per lane == number of utterances assigned to it
             n_resets = sum(bool(c.resets[lane]) for c in chunks)
-            n_expected = sum(1 for (w, t, first, c_, s_) in
+            n_expected = sum(1 for (w, t, first, *_rest) in
                              sb.lanes[lane][:len(sb)] if first)
             assert n_resets == n_expected
