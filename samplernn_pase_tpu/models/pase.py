@@ -88,11 +88,15 @@ def sinc_conv(params, x, cfg: PASEConfig):
 # ------------------------------------------------------------- conv trunk
 
 def init_conv_block(key, c_in: int, c_out: int, kernel: int):
+    """No conv bias: the block's BatchNorm immediately re-centers the
+    conv output, so a bias is exactly degenerate — zero gradient in
+    train mode (batch stats absorb it) and redundant with BN beta in
+    eval mode. Imported torch checkpoints fold theirs into the running
+    mean (load_torch_pase)."""
     k1, _ = jax.random.split(key)
     fan_in = c_in * kernel
     return {
         "w": winit.lecun_uniform(k1, (c_out, c_in, kernel), fan_in=fan_in),
-        "b": jnp.zeros((c_out,)),
         "alpha": jnp.full((c_out,), 0.25),   # PReLU slope
         "bn_scale": jnp.ones((c_out,)),
         "bn_bias": jnp.zeros((c_out,)),
@@ -112,7 +116,7 @@ def conv_block_apply(params, bn_state, x, stride: int, *, train: bool,
         x.astype(compute_dtype), params["w"].astype(compute_dtype),
         window_strides=(stride,), padding="SAME",
         dimension_numbers=("NCH", "OIH", "NCH"))
-    out = out.astype(jnp.float32) + params["b"][None, :, None]
+    out = out.astype(jnp.float32)
     if train:
         mean = jnp.mean(out, axis=(0, 2))
         var = jnp.var(out, axis=(0, 2))
@@ -263,9 +267,6 @@ def load_torch_pase(path, cfg: PASEConfig, strict: bool = True):
         blk = params["blocks"][i]
         check_shape(f"blocks.{i + 1}.conv.weight", w, blk["w"].shape)
         blk["w"] = w
-        b = grab(f"blocks.{i + 1}.conv.bias")
-        if b is not None:
-            blk["b"] = b
         for ours, theirs in (("bn_scale", "norm.weight"),
                              ("bn_bias", "norm.bias")):
             v = grab(f"blocks.{i + 1}.{theirs}")
@@ -276,6 +277,14 @@ def load_torch_pase(path, cfg: PASEConfig, strict: bool = True):
             v = grab(f"blocks.{i + 1}.{theirs}")
             if v is not None:
                 bn_state["blocks"][i][ours] = v
+        b = grab(f"blocks.{i + 1}.conv.bias")
+        if b is not None:
+            # our blocks carry no conv bias (BN re-centers): fold the
+            # upstream bias into the running mean — eval-mode output
+            # (conv + b - mean) == (conv - (mean - b)) exactly; in train
+            # mode the batch stats cancel any bias anyway
+            bn_state["blocks"][i]["mean"] = \
+                bn_state["blocks"][i]["mean"] - b
         a = grab(f"blocks.{i + 1}.act.weight")
         if a is not None:
             blk["alpha"] = a
@@ -285,9 +294,6 @@ def load_torch_pase(path, cfg: PASEConfig, strict: bool = True):
     if w is not None:
         check_shape("proj.conv.weight", w, params["proj"]["w"].shape)
         params["proj"]["w"] = w
-        b = grab("W.bias", "proj.conv.bias")
-        if b is not None:
-            params["proj"]["b"] = b
         for ours, theirs in (("bn_scale", "proj.norm.weight"),
                              ("bn_bias", "proj.norm.bias"),
                              ("alpha", "proj.act.weight")):
@@ -299,6 +305,9 @@ def load_torch_pase(path, cfg: PASEConfig, strict: bool = True):
             v = grab(theirs)
             if v is not None:
                 bn_state["proj"][ours] = v
+        b = grab("W.bias", "proj.conv.bias")
+        if b is not None:   # fold into the running mean (see blocks)
+            bn_state["proj"]["mean"] = bn_state["proj"]["mean"] - b
     report = {"loaded": sorted(used),
               "skipped": sorted(set(sd) - used),
               "missing_blocks": missing_blocks}
@@ -343,7 +352,6 @@ def export_torch_pase(params, bn_state, path=None):
                                       bn_state["blocks"])):
         p = f"blocks.{i + 1}"
         sd[f"{p}.conv.weight"] = t(blk["w"])
-        sd[f"{p}.conv.bias"] = t(blk["b"])
         sd[f"{p}.norm.weight"] = t(blk["bn_scale"])
         sd[f"{p}.norm.bias"] = t(blk["bn_bias"])
         sd[f"{p}.norm.running_mean"] = t(st["mean"])
@@ -351,7 +359,6 @@ def export_torch_pase(params, bn_state, path=None):
         sd[f"{p}.act.weight"] = t(blk["alpha"])
     proj, pst = params["proj"], bn_state["proj"]
     sd["proj.conv.weight"] = t(proj["w"])
-    sd["proj.conv.bias"] = t(proj["b"])
     sd["proj.norm.weight"] = t(proj["bn_scale"])
     sd["proj.norm.bias"] = t(proj["bn_bias"])
     sd["proj.norm.running_mean"] = t(pst["mean"])

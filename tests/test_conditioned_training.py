@@ -70,6 +70,12 @@ def test_torch_pase_ckpt_import(tmp_path):
     np.testing.assert_allclose(
         np.asarray(bn_state["blocks"][0]["var"]),
         sd["blocks.1.norm.running_var"].numpy(), rtol=1e-6)
+    # upstream conv bias folds into the running mean (our blocks carry
+    # no bias — BN re-centers): mean' = mean - b, eval output unchanged
+    np.testing.assert_allclose(
+        np.asarray(bn_state["blocks"][0]["mean"]),
+        (sd["blocks.1.norm.running_mean"]
+         - sd["blocks.1.conv.bias"]).numpy(), rtol=1e-6)
     assert "unrelated.key" in report["skipped"]
     # imported encoder still runs
     wav = jnp.asarray(np.random.default_rng(1).normal(size=(1, 128)) * 0.1,
@@ -96,7 +102,7 @@ def test_torch_pase_import_roundtrip(tmp_path):
     np.testing.assert_array_equal(np.asarray(p2["sinc"]["low_hz"]),
                                   np.asarray(params["sinc"]["low_hz"]))
     for i in range(len(cfg.blocks)):
-        for k in ("w", "b", "bn_scale", "bn_bias", "alpha"):
+        for k in ("w", "bn_scale", "bn_bias", "alpha"):
             np.testing.assert_array_equal(
                 np.asarray(p2["blocks"][i][k]),
                 np.asarray(params["blocks"][i][k]), err_msg=f"block{i}.{k}")

@@ -184,16 +184,9 @@ def test_joint_trainer_steps_per_call_parity(tmp_path):
     assert t1.global_step == t2.global_step > 0
     assert ref_nlls == got_nlls
 
-    def degenerate(path):
-        # pase conv/proj biases sit directly before train-mode BN
-        keys = jtu.keystr(path)
-        return "'pase'" in keys and keys.endswith("['b']")
-
     for (pa, a), (_, b) in zip(
             jtu.tree_leaves_with_path(t1.params),
             jtu.tree_leaves_with_path(t2.params)):
-        if degenerate(pa):
-            continue
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=2e-5, rtol=2e-5,
                                    err_msg=jtu.keystr(pa))

@@ -373,18 +373,12 @@ def test_dp_joint_train_step_matches_single_device():
     nll_s, p_s, bl_s = run(True)
     nll_u, p_u, bl_u = run(False)
     assert abs(nll_s - nll_u) < 1e-5
-    # the pase conv/proj biases sit directly before train-mode BN: the
-    # mean-subtraction cancels them exactly, so their gradients are pure
-    # float noise that Adam amplifies — sharded reduction order changes
-    # that noise; every non-degenerate leaf must match
     import jax.tree_util as jtu
     for (pa, a), (_, e) in zip(jtu.tree_leaves_with_path(p_s),
                                jtu.tree_leaves_with_path(p_u)):
-        keys = jtu.keystr(pa)
-        if "'pase'" in keys and keys.endswith("['b']"):
-            continue
         np.testing.assert_allclose(np.asarray(a), np.asarray(e),
-                                   atol=1e-4, rtol=1e-4, err_msg=keys)
+                                   atol=1e-4, rtol=1e-4,
+                                   err_msg=jtu.keystr(pa))
     for a, e in zip(bl_s, bl_u):
         np.testing.assert_allclose(np.asarray(a), np.asarray(e),
                                    atol=1e-4, rtol=1e-4)

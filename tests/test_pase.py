@@ -65,10 +65,13 @@ def test_conv_block_matches_torch():
     var = rng.uniform(0.5, 2.0, c_out).astype(np.float32)
     x = rng.normal(size=(3, c_in, t)).astype(np.float32)
 
-    params = {"w": jnp.asarray(w), "b": jnp.asarray(b),
+    # our blocks carry no conv bias; the torch oracle's bias is folded
+    # into the running mean (the load_torch_pase import convention) —
+    # this asserts the fold is exact in eval mode
+    params = {"w": jnp.asarray(w),
               "alpha": jnp.asarray(alpha), "bn_scale": jnp.asarray(scale),
               "bn_bias": jnp.asarray(bias)}
-    st = {"mean": jnp.asarray(mean), "var": jnp.asarray(var),
+    st = {"mean": jnp.asarray(mean - b), "var": jnp.asarray(var),
           "count": jnp.zeros(())}
     got, _ = P.conv_block_apply(params, st, jnp.asarray(x), stride,
                                 train=False, compute_dtype=jnp.float32)
