@@ -113,7 +113,7 @@ def _onehot_col(levels_col, n_levels, dtype):
 
 def _kernel(frame_sizes, n_top, q_levels, deterministic, cond_rate,
             rnn_type, n_rnn, use_ring, fused_embed, stream_top,
-            host_noise, seed_ref, temp_ref, *refs):
+            host_noise, ablate_chain, seed_ref, temp_ref, *refs):
     # VMEM scratch (tail of the ref list): per-frame hoisted cond rows,
     # per-frame gumbel noise, (ring mode) the embedded window, and
     # (stream mode) the top-tier weight slot + its DMA semaphore
@@ -233,6 +233,8 @@ def _kernel(frame_sizes, n_top, q_levels, deterministic, cond_rate,
             return _onehot_col(col, q_levels, wmi_ref.dtype)
         return _embed_col(col, embed, q_levels).astype(wmi_ref.dtype)
 
+    _ablate_prev = [None]    # per-frame closure cell for ablate_chain
+
     def mlp_step(i, carry):
         """use_ring: the embedded window lives in the ebuf scratch at
         E-aligned slots (one [B,E] write per step; the shifting form
@@ -282,7 +284,23 @@ def _kernel(frame_sizes, n_top, q_levels, deterministic, cond_rate,
                             keepdims=True).astype(jnp.int32)
         # fused mode: the new slot is just the one-hot (a VPU compare) —
         # no sample->embedding matmul on the serial chain
-        new_emb = unit_col(sample)
+        if ablate_chain:
+            # roofline ablation (bench-only, output is WRONG): feed the
+            # window the previous FRAME's sample at this position — a
+            # value fixed at frame start (_ablate_prev, set in `decode`
+            # before the fori_loop), so within a frame no matmul
+            # depends on any step's argmax.  FLOPs, stores and argmax
+            # (kept live via `block`->out) are identical to the real
+            # kernel; the runtime gap to the unablated kernel is the
+            # pure serial-chain scheduling cost (docs/PERF.md roofline).
+            # (block[:, 0:1] would NOT work: the carry concat makes the
+            # whole block value depend on the previous argmax.)
+            pv = _ablate_prev[0]
+            sel = (jax.lax.broadcasted_iota(jnp.int32, pv.shape, 1) == i)
+            known = jnp.sum(jnp.where(sel, pv, 0), axis=1, keepdims=True)
+            new_emb = unit_col(known)
+        else:
+            new_emb = unit_col(sample)
         if use_ring:
             ebuf_ref[:, pl.ds((i + f1) * sw, sw)] = new_emb
             emb_win_next = emb_win      # dummy placeholder
@@ -328,6 +346,8 @@ def _kernel(frame_sizes, n_top, q_levels, deterministic, cond_rate,
                     u = (u23.astype(jnp.float32) * (1.0 / (1 << 23))
                          + 1e-7)
                     gum_sc_ref[:] = -jnp.log(-jnp.log(u))
+            if ablate_chain:
+                _ablate_prev[0] = prev
             (ctx["partial"], ctx["prev_emb"], ctx["emb_win"],
              block) = jax.lax.fori_loop(
                 0, f1, mlp_step,
@@ -388,7 +408,7 @@ def _kernel(frame_sizes, n_top, q_levels, deterministic, cond_rate,
 
 @functools.partial(jax.jit, static_argnames=(
     "n_top", "q_levels", "deterministic", "interpret", "cond_rate",
-    "rnn_type", "weights_dtype", "stream_top"))
+    "rnn_type", "weights_dtype", "stream_top", "ablate_chain"))
 def generate_full_pallas(window, states, temperature, seed, tiers, mlp, *,
                          n_top: int, q_levels: int = 256,
                          deterministic: bool = False,
@@ -396,7 +416,8 @@ def generate_full_pallas(window, states, temperature, seed, tiers, mlp, *,
                          ext_proj=None, cond_offsets=None,
                          rnn_type: str = "gru",
                          weights_dtype: str = "bfloat16",
-                         stream_top: bool = False, gumbel=None):
+                         stream_top: bool = False, gumbel=None,
+                         ablate_chain: bool = False):
     """Run the full generation megakernel (K tiers, GRU or LSTM, any
     static n_rnn — stacked layers per tier run as a static cell stack).
 
@@ -406,6 +427,13 @@ def generate_full_pallas(window, states, temperature, seed, tiers, mlp, *,
     (samples [n_top, B, lookback] int32, final_states tuple in the same
     model layout) so long generations are chunked without blowing the
     VMEM output buffer.
+
+    ablate_chain=True is a BENCH-ONLY mode whose output is wrong: the
+    sample window is fed a step-start-known value instead of the argmax
+    result, severing the autoregressive serial dependency while keeping
+    FLOPs/stores/argmax identical — the runtime delta vs the real
+    kernel measures the pure serial-chain scheduling cost
+    (scripts/roofline_ablation.py, docs/PERF.md).
 
     stream_top=True keeps the TOP tier's weight matrices (w_ih/w_hh per
     layer + w_up) in HBM and DMA-streams them through one VMEM scratch
@@ -526,7 +554,8 @@ def generate_full_pallas(window, states, temperature, seed, tiers, mlp, *,
     outs = pl.pallas_call(
         functools.partial(_kernel, frame_sizes, n_top, q_levels,
                           deterministic, cond_rate, rnn_type, n_rnn,
-                          use_ring, fused_embed, stream_top, host_noise),
+                          use_ring, fused_embed, stream_top, host_noise,
+                          ablate_chain),
         out_shape=(
             jax.ShapeDtypeStruct((n_top, b, lookback), jnp.int32),
             *(jax.ShapeDtypeStruct((n_state, b, hdim), jnp.float32)

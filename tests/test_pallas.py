@@ -489,3 +489,34 @@ def test_megakernel_sampled_conditioned_interpret():
         cond=cond, speakers=np.array([0, 2], np.int32),
         use_pallas="interpret")
     assert np.any(np.asarray(out) != np.asarray(out3))
+
+
+def test_megakernel_ablate_chain_contract():
+    """`ablate_chain=True` is the roofline-ablation bench mode
+    (scripts/roofline_ablation.py): it severs the argmax->window serial
+    dependency while keeping the instruction stream (matmuls, stores,
+    argmax) intact. Pin its contract so the ablation can't silently
+    become a no-op: same output shapes/dtypes and in-range levels, but
+    a DIFFERENT sample stream than the real kernel (the window is fed
+    the previous frame's sample, not the argmax result)."""
+    from samplernn_pase_tpu.ops.pallas.megagen import generate_full_pallas
+
+    cfg = SampleRNNConfig(frame_sizes=(4, 2), dim=16, embed_dim=8,
+                          compute_dtype="float32")
+    params = samplernn.init_params(jax.random.PRNGKey(3), cfg)
+    rng = np.random.default_rng(9)
+    window = jnp.asarray(rng.integers(0, 256, (2, cfg.lookback), np.int32))
+    states = samplernn.initial_state(params, cfg, 2)
+    outs = {}
+    for ablate in (False, True):
+        samples, fin = generate_full_pallas(
+            window, tuple(states), 0.0, jnp.int32(0),
+            list(params["tiers"]), params["mlp"], n_top=6, q_levels=256,
+            deterministic=True, interpret=True, rnn_type="gru",
+            weights_dtype="float32", ablate_chain=ablate)
+        outs[ablate] = np.asarray(samples)
+    assert outs[True].shape == outs[False].shape
+    assert outs[True].dtype == outs[False].dtype
+    assert outs[True].min() >= 0 and outs[True].max() < 256
+    # the severed dependency must actually change what the window sees
+    assert np.any(outs[True] != outs[False])
