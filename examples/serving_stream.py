@@ -62,6 +62,29 @@ def main(out_path="serving_demo.wav"):
     buffered = [np.asarray(sg2.emit(chunk)) for _ in range(4)]
     assert all(b.shape == (1, chunk) for b in buffered)
 
+    # ---- conditioned TTS stream: whole cond stream up front -----------
+    # set_cond attaches the utterance's PASE-embedding stream; the
+    # generator advances through it with its sample cursor, so chunk
+    # boundaries need not align to cond_rate and buffered lookahead
+    # works conditioned. Greedy chunked output == one-shot decode.
+    ccfg = SampleRNNConfig(frame_sizes=(16, 4), dim=128, embed_dim=64,
+                           cond_dim=32, cond_rate=160,
+                           compute_dtype="float32")
+    cparams = samplernn.init_params(jax.random.PRNGKey(2), ccfg)
+    total = chunk * 4
+    emb = np.asarray(jax.random.normal(
+        jax.random.PRNGKey(3), (-(-total // ccfg.cond_rate), 32)))
+    sg3 = gen.StreamingGenerator(cparams, ccfg, n_seqs=1,
+                                 temperature=None, chunks_per_call=2)
+    sg3.set_cond(emb)
+    cond_stream = np.concatenate(
+        [np.asarray(sg3.emit(chunk)) for _ in range(4)], axis=1)
+    oneshot = np.asarray(gen.generate_levels(
+        cparams, ccfg, 1, total, temperature=None,
+        cond=np.broadcast_to(emb[None], (1, *emb.shape))))
+    assert np.array_equal(cond_stream, oneshot)
+    print("conditioned stream == one-shot decode: OK")
+
     levels = np.concatenate(audio, axis=1)[0]
     from samplernn_pase_tpu.ops.mulaw import mu_law_decode
     wav = np.asarray(mu_law_decode(levels, cfg.q_levels))
