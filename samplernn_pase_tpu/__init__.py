@@ -13,6 +13,7 @@ Public API verbs (BASELINE.json:4): ``train``, ``extract``, ``generate``.
 __version__ = "0.1.0"
 
 from samplernn_pase_tpu import ops, models, data, train, parallel  # noqa: F401
+from samplernn_pase_tpu import serve  # noqa: F401
 from samplernn_pase_tpu.config import (  # noqa: F401
     SampleRNNConfig,
     PASEConfig,

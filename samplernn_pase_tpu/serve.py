@@ -1,0 +1,225 @@
+"""Multi-stream serving: a fixed-lane pool with per-lane lifecycle.
+
+``StreamPool`` is the production-serving layer above
+:class:`~samplernn_pase_tpu.generate.StreamingGenerator`: one resident
+batch of ``n_lanes`` decode lanes advancing in lock-step (one device
+dispatch per chunk for ALL lanes — the TPU form of continuous
+batching: static shapes, recycled slots), where individual TTS streams
+join and leave at chunk boundaries without stopping the batch.
+
+Why this shape: every batch lane is independent in the model (per-lane
+RNN state, per-lane MLP), so a pool lane's stream is IDENTICAL to a
+solo b=1 generator given the same conditioning — equality-tested in
+``tests/test_serve.py`` — while the chip amortizes the weight traffic
+across all lanes (b=128 batch decode measures ~750x realtime vs 4.5x
+for b=1; see docs/PERF.md). A slot that is not serving a request still
+computes (garbage that nobody reads); that is inherent to static-shape
+batching and is exactly the trade continuous-batching servers make.
+
+Per-lane conditioning without a kernel change: each emit assembles the
+call's cond rows on the host — lane ``l`` contributes ITS next
+``chunk // cond_rate`` rows (clamping past its stream's end, matching
+``fit_cond_stream`` semantics) — and the batch decodes with
+``cond_pos0 = 0``. Row boundaries then land identically for every lane
+provided each lane's local position stays a multiple of ``cond_rate``,
+which the pool guarantees by requiring conditioned chunks to be
+multiples of ``lcm(lookback, cond_rate)`` (e.g. 1280 samples = 80 ms
+at 16 kHz for the flagship's lookback 256 x cond_rate 160). Host cost
+is a [n_lanes, chunk/cond_rate, D] float gather per chunk — noise.
+
+JAX's functional arrays make the lifecycle race-free for enqueue-ahead
+serving loops: ``start()``/``stop()`` build NEW state arrays, so chunks
+already enqueued keep the state they were dispatched with — a join can
+never corrupt audio another lane has in flight.
+"""
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import generate as gen
+from .config import SampleRNNConfig
+from .models import samplernn
+from .ops.mulaw import quantize_zero
+
+
+def _scatter_lane(pool_tree, one_tree, lane: int):
+    """Write a batch=1 state pytree into one lane of a pooled pytree.
+
+    State leaves are [n_rnn, (2,)? B, H] (batch axis -2); the b=1 leaf
+    collapses to the same shape with B=1.
+    """
+    return tuple(
+        jax.tree.map(
+            lambda p, o: jax.lax.dynamic_update_index_in_dim(
+                p, jnp.squeeze(o, axis=-2).astype(p.dtype), lane, -2),
+            p_t, o_t)
+        for p_t, o_t in zip(pool_tree, one_tree))
+
+
+class StreamPool:
+    """``n_lanes`` independent audio streams, one device call per chunk.
+
+    >>> pool = StreamPool(params, cfg, n_lanes=8, temperature=0.95)
+    >>> a = pool.start(cond=emb_a, speaker=3)       # claims a free lane
+    >>> b = pool.start(cond=emb_b, speaker=1)
+    >>> chunk = pool.emit(1280)                     # [8, 1280] async
+    >>> audio_a = np.asarray(chunk[a])              # lane a's samples
+    >>> pool.stop(a)                                # slot reusable
+
+    ``emit`` returns the WHOLE batch as an async device array; the
+    serving layer slices the lanes it owns (materializing per lane).
+    Sampling uses one key per call across lanes, so a lane's sampled
+    stream depends on pool membership history; greedy (temperature
+    None) lanes are bit-reproducible regardless.
+    """
+
+    def __init__(self, params, cfg: SampleRNNConfig, n_lanes: int,
+                 temperature: float | None = 1.0, key=None,
+                 use_pallas: bool | str | None = None):
+        if n_lanes < 1:
+            raise ValueError("n_lanes must be >= 1")
+        self.params, self.cfg, self.n = params, cfg, int(n_lanes)
+        self.temperature = temperature
+        self.key = key if key is not None else jax.random.PRNGKey(0)
+        self.use_pallas = use_pallas
+        self.states = samplernn.initial_state(params, cfg, self.n)
+        self.hist = jnp.full((self.n, cfg.lookback),
+                             quantize_zero(cfg.q_levels), jnp.int32)
+        self._free = list(range(self.n - 1, -1, -1))   # pop() -> lane 0 first
+        self.active: set[int] = set()
+        # host-side per-lane conditioning: full stream + row cursor
+        self._cond: list[np.ndarray | None] = [None] * self.n
+        self._cond_row: list[int] = [0] * self.n
+        self._speakers = (np.zeros((self.n,), np.int32)
+                          if cfg.n_speakers else None)
+
+    # -- lifecycle -------------------------------------------------------
+    def start(self, cond=None, speaker=None, seed_levels=None,
+              seed_cond=None, lane: int | None = None) -> int:
+        """Claim a lane for a new stream and return its index.
+
+        cond: [frames, cond_dim] conditioning stream for this utterance
+        (required iff the model has cond_dim). speaker: int id
+        (required iff the model has n_speakers). seed_levels: optional
+        [L] or [1, L] int32 prompt — the lane continues this audio
+        (states warmed via :func:`~samplernn_pase_tpu.generate.prime`,
+        with seed_cond rows covering the seed if conditioned).
+        """
+        # validate EVERYTHING before claiming the lane — a rejected
+        # start must not leak the slot
+        if lane is None:
+            if not self._free:
+                raise RuntimeError(
+                    f"pool exhausted: all {self.n} lanes active")
+        elif lane in self.active:
+            raise ValueError(f"lane {lane} is already active")
+        elif lane not in self._free:
+            raise ValueError(f"lane {lane} out of range [0, {self.n})")
+        if self.cfg.cond_dim:
+            if cond is None:
+                raise ValueError(
+                    "model has cond_dim: start(cond=...) is required")
+            cond = np.asarray(cond, np.float32)
+            if cond.ndim != 2 or cond.shape[0] == 0 \
+                    or cond.shape[1] != self.cfg.cond_dim:
+                raise ValueError(
+                    f"cond must be [frames, {self.cfg.cond_dim}], "
+                    f"got {cond.shape}")
+        elif cond is not None:
+            raise ValueError("cond passed to an unconditioned model")
+        if self.cfg.n_speakers:
+            if speaker is None:
+                raise ValueError(
+                    "model has n_speakers: start(speaker=...) is required")
+            if not 0 <= int(speaker) < self.cfg.n_speakers:
+                raise ValueError(f"speaker {speaker} out of range "
+                                 f"[0, {self.cfg.n_speakers})")
+        seed = None
+        if seed_levels is not None:
+            seed = jnp.asarray(seed_levels, jnp.int32)
+            if seed.ndim == 1:
+                seed = seed[None]
+            if seed.ndim != 2 or seed.shape[0] != 1:
+                raise ValueError("seed_levels must be one lane: [L] or "
+                                 f"[1, L], got {np.shape(seed_levels)}")
+        # claim + commit (nothing below raises)
+        lane = self._free.pop() if lane is None else (
+            self._free.remove(lane) or lane)
+        if self.cfg.cond_dim:
+            self._cond[lane] = cond
+            self._cond_row[lane] = 0
+        if self.cfg.n_speakers:
+            self._speakers[lane] = int(speaker)
+        # fresh per-lane state: learned h0 + q_zero history
+        resets = jnp.zeros((self.n,), jnp.float32).at[lane].set(1.0)
+        self.states = samplernn.reset_state(self.params, self.cfg,
+                                            self.states, resets)
+        self.hist = self.hist.at[lane].set(
+            quantize_zero(self.cfg.q_levels))
+        if seed is not None:
+            sc = None
+            if seed_cond is not None:
+                sc = np.asarray(seed_cond, np.float32)[None]
+            spk1 = (np.asarray([self._speakers[lane]], np.int32)
+                    if self._speakers is not None else None)
+            s1, h1 = gen.prime(self.params, self.cfg, seed, cond=sc,
+                               speakers=spk1)
+            self.states = _scatter_lane(self.states, s1, lane)
+            self.hist = self.hist.at[lane].set(h1[0])
+        self.active.add(lane)
+        return lane
+
+    def stop(self, lane: int):
+        """Release a lane. Its slot keeps computing (garbage nobody
+        reads — the static-batch trade) until reused by start()."""
+        if lane not in self.active:
+            raise ValueError(f"lane {lane} is not active")
+        self.active.remove(lane)
+        self._cond[lane] = None
+        self._free.append(lane)
+
+    # -- decode ----------------------------------------------------------
+    def _chunk_cond(self, n_samples: int) -> jnp.ndarray:
+        """Assemble this call's [n_lanes, n/cond_rate, D] cond rows from
+        each lane's stream at its own cursor (clamp past the end);
+        inactive lanes contribute zeros."""
+        rows = n_samples // self.cfg.cond_rate
+        out = np.zeros((self.n, rows, self.cfg.cond_dim), np.float32)
+        for lane in self.active:
+            stream, r0 = self._cond[lane], self._cond_row[lane]
+            idx = np.minimum(np.arange(r0, r0 + rows), len(stream) - 1)
+            out[lane] = stream[idx]
+            self._cond_row[lane] = r0 + rows
+        return jnp.asarray(out)
+
+    def emit(self, n_samples: int):
+        """Advance every lane n_samples and return [n_lanes, n_samples]
+        quantized levels as an ASYNC device array (enqueue-ahead loops
+        overlap dispatch with playback; materialize per lane)."""
+        if n_samples % self.cfg.lookback:
+            raise ValueError(f"n_samples must be a multiple of lookback "
+                             f"({self.cfg.lookback})")
+        cond = None
+        if self.cfg.cond_dim:
+            align = math.lcm(self.cfg.lookback, self.cfg.cond_rate)
+            if n_samples % align:
+                raise ValueError(
+                    "conditioned pools need per-lane cond phases to stay "
+                    "row-aligned: n_samples must be a multiple of "
+                    f"lcm(lookback, cond_rate) = {align}, got {n_samples}")
+            cond = self._chunk_cond(n_samples)
+        self.key, sub = jax.random.split(self.key)
+        spk = (jnp.asarray(self._speakers)
+               if self._speakers is not None else None)
+        levels, self.states, self.hist = gen.generate_levels(
+            self.params, self.cfg, self.n, n_samples, self.temperature,
+            sub, cond=cond, initial_states=self.states, hist=self.hist,
+            use_pallas=self.use_pallas, speakers=spk, return_state=True)
+        return levels
+
+    def emit_waveform(self, n_samples: int):
+        return gen.decode_waveform(self.emit(n_samples), self.cfg)

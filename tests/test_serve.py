@@ -1,0 +1,157 @@
+"""StreamPool (multi-stream serving) tests.
+
+The load-bearing property: batch lanes are independent in the model, so
+a pool lane's greedy stream must be IDENTICAL to a solo b=1
+StreamingGenerator given the same conditioning — regardless of what the
+other lanes are doing or when the lane joined. Everything else (slot
+reuse, seed joins, cond clamp) reduces to that equality.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from samplernn_pase_tpu.config import SampleRNNConfig
+from samplernn_pase_tpu.models import samplernn
+from samplernn_pase_tpu import generate as gen
+from samplernn_pase_tpu.serve import StreamPool
+
+
+def _mk(cfg, seed=0):
+    return samplernn.init_params(jax.random.PRNGKey(seed), cfg)
+
+
+def _solo(params, cfg, n_chunks, chunk, cond=None, speaker=None):
+    sg = gen.StreamingGenerator(params, cfg, n_seqs=1, temperature=None)
+    if cond is not None:
+        sg.set_cond(cond)
+    spk = (np.asarray([speaker], np.int32)
+           if speaker is not None else None)
+    return np.concatenate(
+        [np.asarray(sg.emit(chunk, speakers=spk))
+         for _ in range(n_chunks)], axis=1)[0]
+
+
+def test_pool_lane_matches_solo_generator():
+    """Staggered joins: each lane's stream from ITS start equals a solo
+    generator's from t=0 — membership history is invisible to a lane."""
+    cfg = SampleRNNConfig(frame_sizes=(4, 2), dim=16, embed_dim=8,
+                          compute_dtype="float32")
+    params = _mk(cfg)
+    chunk = cfg.lookback * 2
+    pool = StreamPool(params, cfg, n_lanes=3, temperature=None)
+    a = pool.start()
+    out = [np.asarray(pool.emit(chunk))]
+    b = pool.start()                      # joins one chunk later
+    out += [np.asarray(pool.emit(chunk)), np.asarray(pool.emit(chunk))]
+    out = np.concatenate(out, axis=1)
+    solo = _solo(params, cfg, 3, chunk)
+    np.testing.assert_array_equal(out[a], solo)
+    np.testing.assert_array_equal(out[b, chunk:], solo[:2 * chunk])
+
+
+def test_pool_conditioned_speakers_match_solo():
+    """Per-lane cond streams + speakers, staggered joins, one stream
+    short enough to clamp past its end — every lane equals its solo."""
+    cfg = SampleRNNConfig(frame_sizes=(4, 2), dim=16, embed_dim=8,
+                          cond_dim=6, cond_rate=4, n_speakers=3,
+                          compute_dtype="float32")
+    params = _mk(cfg, 1)
+    chunk = np.lcm(cfg.lookback, cfg.cond_rate) * 2     # 16
+    rng = np.random.default_rng(0)
+    cond_a = rng.normal(size=(3 * chunk // cfg.cond_rate, 6)).astype(
+        np.float32)
+    cond_b = rng.normal(size=(2, 6)).astype(np.float32)  # clamps early
+    pool = StreamPool(params, cfg, n_lanes=2, temperature=None)
+    a = pool.start(cond=cond_a, speaker=2)
+    out = [np.asarray(pool.emit(chunk))]
+    b = pool.start(cond=cond_b, speaker=0)
+    out += [np.asarray(pool.emit(chunk)), np.asarray(pool.emit(chunk))]
+    out = np.concatenate(out, axis=1)
+    np.testing.assert_array_equal(
+        out[a], _solo(params, cfg, 3, chunk, cond=cond_a, speaker=2))
+    np.testing.assert_array_equal(
+        out[b, chunk:],
+        _solo(params, cfg, 2, chunk, cond=cond_b, speaker=0))
+
+
+def test_pool_slot_reuse_is_fresh():
+    cfg = SampleRNNConfig(frame_sizes=(4, 2), dim=16, embed_dim=8,
+                          compute_dtype="float32")
+    params = _mk(cfg, 2)
+    chunk = cfg.lookback
+    pool = StreamPool(params, cfg, n_lanes=1, temperature=None)
+    a = pool.start()
+    np.asarray(pool.emit(chunk)); np.asarray(pool.emit(chunk))
+    pool.stop(a)
+    a2 = pool.start()
+    assert a2 == a                       # slot recycled
+    fresh = np.asarray(pool.emit(chunk))[a2]
+    np.testing.assert_array_equal(fresh, _solo(params, cfg, 1, chunk))
+
+
+def test_pool_seed_join_matches_prime():
+    """A lane joining with an audio prompt continues it exactly as the
+    solo prime() + generate path does."""
+    cfg = SampleRNNConfig(frame_sizes=(4, 2), dim=16, embed_dim=8,
+                          compute_dtype="float32")
+    params = _mk(cfg, 3)
+    chunk = cfg.lookback * 2
+    rng = np.random.default_rng(1)
+    seed = rng.integers(0, 256, (1, 4 * cfg.lookback), np.int64)
+    pool = StreamPool(params, cfg, n_lanes=2, temperature=None)
+    pool.start()                          # other traffic in lane 0
+    np.asarray(pool.emit(chunk))
+    j = pool.start(seed_levels=seed[0])
+    got = np.asarray(pool.emit(chunk))[j]
+    states, hist = gen.prime(params, cfg, seed)
+    want = np.asarray(gen.generate_levels(
+        params, cfg, 1, chunk, temperature=None,
+        initial_states=states, hist=hist))[0]
+    np.testing.assert_array_equal(got, want)
+
+
+def test_pool_sampled_reproducible():
+    cfg = SampleRNNConfig(frame_sizes=(4, 2), dim=16, embed_dim=8,
+                          compute_dtype="float32")
+    params = _mk(cfg, 4)
+    chunk = cfg.lookback
+    outs = []
+    for _ in range(2):
+        pool = StreamPool(params, cfg, n_lanes=2, temperature=1.0,
+                          key=jax.random.PRNGKey(7))
+        pool.start(); pool.start()
+        outs.append(np.asarray(pool.emit(chunk)))
+    np.testing.assert_array_equal(outs[0], outs[1])
+    assert outs[0].shape == (2, chunk)
+    assert outs[0].min() >= 0 and outs[0].max() < cfg.q_levels
+
+
+def test_pool_validation_errors():
+    cfg = SampleRNNConfig(frame_sizes=(4, 2), dim=16, embed_dim=8,
+                          cond_dim=6, cond_rate=3, n_speakers=2,
+                          compute_dtype="float32")
+    params = _mk(cfg, 5)
+    pool = StreamPool(params, cfg, n_lanes=1, temperature=None)
+    with pytest.raises(ValueError, match="cond"):
+        pool.start(speaker=0)                 # missing cond
+    cond = np.zeros((4, 6), np.float32)
+    with pytest.raises(ValueError, match="speaker"):
+        pool.start(cond=cond)                 # missing speaker
+    lane = pool.start(cond=cond, speaker=1)
+    with pytest.raises(RuntimeError, match="exhausted"):
+        pool.start(cond=cond, speaker=0)
+    with pytest.raises(ValueError, match="already active"):
+        pool.start(cond=cond, speaker=0, lane=lane)
+    with pytest.raises(ValueError, match="lcm"):
+        pool.emit(cfg.lookback)               # 8 not divisible by lcm=24
+    pool.stop(lane)
+    with pytest.raises(ValueError, match="not active"):
+        pool.stop(lane)
+    ucfg = SampleRNNConfig(frame_sizes=(4, 2), dim=16, embed_dim=8,
+                           compute_dtype="float32")
+    upool = StreamPool(_mk(ucfg, 6), ucfg, n_lanes=1, temperature=None)
+    with pytest.raises(ValueError, match="unconditioned"):
+        upool.start(cond=cond)
+    with pytest.raises(ValueError, match="multiple of lookback"):
+        upool.start(); upool.emit(3)
