@@ -279,16 +279,6 @@ def _generate_full(params, cfg, n_seqs, length, temperature, key, hist,
     window = (hist if hist is not None
               else jnp.full((n_seqs, lookback),
                             quantize_zero(cfg.q_levels), jnp.int32))
-    ext_all = None
-    if cond is not None:
-        dt = jnp.dtype(cfg.compute_dtype)
-
-        def proj(tier):
-            e = jnp.matmul(cond.astype(dt), tier["w_cond"].astype(dt),
-                           preferred_element_type=jnp.float32)
-            return jnp.moveaxis(e, 0, 1)          # [n_rows, B, H]
-
-        ext_all = tuple(proj(t) for t in params["tiers"])
     # VMEM accounting: resident weights + scratch (hoisted cond rows,
     # gumbel, one-hot ring) + the [n_top, B, lookback] output buffer
     # must fit the ~128 MiB VMEM; big models (n_rnn >= 2 at dim 1024)
@@ -304,7 +294,7 @@ def _generate_full(params, cfg, n_seqs, length, temperature, key, hist,
     # per-top-frame VMEM: the int32 output block, plus (conditioned) the
     # f32 cond rows that cover one lookback span across all tiers
     per_top = float(n_seqs * lookback * 4)
-    if ext_all is not None:
+    if cond is not None:
         row_bytes = _cond_row_bytes(cfg, n_seqs)
         per_top += row_bytes * lookback / cfg.cond_rate
         avail -= 2 * row_bytes           # row-rounding margin
@@ -313,58 +303,23 @@ def _generate_full(params, cfg, n_seqs, length, temperature, key, hist,
     blocks = []
     done = 0
     c = 0
+    greedy = temperature is None
     while done < n_top:
         step_top = min(chunk_top, n_top - done)
-        sub = jax.random.fold_in(key, c)
-        seed = jax.random.randint(sub, (), 0, jnp.iinfo(jnp.int32).max,
-                                  dtype=jnp.int32)
-        cond_kw = {}
-        if (interpret or host_noise) and temperature is not None:
-            # host-generated per-bottom-frame Gumbel noise: required off
-            # TPU (interpret mode has no on-core PRNG), and usable ON the
-            # chip too (an ordinary VMEM ref) — the hardware fixed-noise
-            # parity check feeds the same buffer to both paths
-            f1 = cfg.frame_sizes[0]
-            cond_kw["gumbel"] = jax.random.gumbel(
-                jax.random.fold_in(sub, 1),
-                (step_top * (lookback // f1), f1, n_seqs, cfg.q_levels),
-                jnp.float32)
-        if ext_all is not None:
-            # cond_pos0: absolute sample offset of this call's first
-            # sample within the conditioning stream (streaming decode
-            # carries state across calls; row alignment must follow).
-            # `need` is alignment-independent (worst case + 1) so chunked
-            # streaming keeps one kernel signature regardless of offset.
-            s0 = cond_pos0 + done * lookback
-            r0 = s0 // cfg.cond_rate
-            need = (step_top * lookback - 1) // cfg.cond_rate + 2
-
-            def rows_of(ext):
-                rows = ext[r0:min(r0 + need, ext.shape[0])]
-                if rows.shape[0] < need:   # pad: clamp to last row
-                    pad = jnp.broadcast_to(
-                        rows[-1:],
-                        (need - rows.shape[0], *rows.shape[1:]))
-                    rows = jnp.concatenate([rows, pad], axis=0)
-                return rows
-
-            cond_kw.update(
-                cond_rate=cfg.cond_rate,
-                ext_proj=tuple(rows_of(e) for e in ext_all),
-                cond_offsets=jnp.asarray([s0, r0], jnp.int32))
-        blocks3d, kstates = generate_full_pallas(
-            window, kstates,
-            0.0 if temperature is None else temperature, seed,
-            list(params["tiers"]), params["mlp"],
-            n_top=step_top, q_levels=cfg.q_levels,
-            deterministic=temperature is None, interpret=interpret,
-            rnn_type=cfg.rnn_type, weights_dtype=cfg.compute_dtype,
-            stream_top=stream_top, **cond_kw)
-        # [n_top, B, lookback] -> [B, n_top*lookback]
-        samples = jnp.moveaxis(blocks3d, 0, 1).reshape(
-            n_seqs, step_top * lookback)
+        # scalars ride into the dispatch as traced np scalars (same
+        # compiled program for every c/pos0/temperature value, uploaded
+        # as part of the one call) — wrapping them in jnp.* eagerly
+        # would cost one extra device transfer each per chunk, which
+        # streaming serving pays per emitted chunk
+        samples, kstates, window = _megagen_chunk(
+            params, window, kstates,
+            np.float32(0.0 if greedy else temperature), key,
+            np.int32(c), cond,
+            np.int32(cond_pos0 + done * lookback),
+            cfg=cfg, step_top=step_top, greedy=greedy,
+            interpret=interpret, stream_top=stream_top,
+            host_noise=(interpret or host_noise) and not greedy)
         blocks.append(samples)
-        window = samples[:, -lookback:]
         done += step_top
         c += 1
     levels = blocks[0] if len(blocks) == 1 else jnp.concatenate(blocks,
@@ -376,6 +331,80 @@ def _generate_full(params, cfg, n_seqs, length, temperature, key, hist,
 
 
 import functools
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "cfg", "step_top", "greedy", "interpret", "stream_top",
+    "host_noise"))
+def _megagen_chunk(params, window, kstates, temperature, key, c, cond,
+                   pos0, *, cfg, step_top, greedy, interpret,
+                   stream_top, host_noise):
+    """One megakernel chunk as ONE compiled program.
+
+    Streaming serving calls this once per emitted chunk, so everything
+    around the kernel — seed derivation, conditioning row slice at the
+    (traced) stream offset, the per-tier w_cond projection, optional
+    host Gumbel noise, output reshape — must live INSIDE the jit: run
+    eagerly these are 10+ separate dispatches per chunk, which on a
+    remote-attached host dominates serving latency the same way the
+    unjitted scan path once did (see _xla_generate's note).
+
+    The conditioning stream arrives WHOLE ([B, F, D], speaker-folded)
+    with ``pos0`` the absolute sample offset of this chunk's first
+    sample; the chunk's rows are gathered with clamp-to-last-row
+    indices — identical semantics to the old eager slice+pad — and only
+    those rows are projected (per-row matmuls: bit-identical to
+    projecting the full stream first). ``c`` is the chunk counter
+    within one generate call; the sampling seed derivation
+    (fold_in(key, c) -> randint) matches the old eager code exactly, so
+    sampled streams are unchanged across the refactor."""
+    from samplernn_pase_tpu.ops.pallas.megagen import generate_full_pallas
+
+    lookback = cfg.lookback
+    n_seqs = window.shape[0]
+    sub = jax.random.fold_in(key, c)
+    seed = jax.random.randint(sub, (), 0, jnp.iinfo(jnp.int32).max,
+                              dtype=jnp.int32)
+    cond_kw = {}
+    if host_noise:
+        # host-generated per-bottom-frame Gumbel noise: required off
+        # TPU (interpret mode has no on-core PRNG), and usable ON the
+        # chip too (an ordinary VMEM ref) — the hardware fixed-noise
+        # parity check feeds the same buffer to both paths
+        f1 = cfg.frame_sizes[0]
+        cond_kw["gumbel"] = jax.random.gumbel(
+            jax.random.fold_in(sub, 1),
+            (step_top * (lookback // f1), f1, n_seqs, cfg.q_levels),
+            jnp.float32)
+    if cond is not None:
+        # `need` is alignment-independent (worst case + 1) so chunked
+        # streaming keeps one kernel signature regardless of offset
+        r0 = pos0 // cfg.cond_rate
+        need = (step_top * lookback - 1) // cfg.cond_rate + 2
+        idx = jnp.clip(r0 + jnp.arange(need), 0, cond.shape[1] - 1)
+        rows = jnp.take(cond, idx, axis=1)          # [B, need, D]
+        dt = jnp.dtype(cfg.compute_dtype)
+
+        def proj(tier):
+            e = jnp.matmul(rows.astype(dt), tier["w_cond"].astype(dt),
+                           preferred_element_type=jnp.float32)
+            return jnp.moveaxis(e, 0, 1)            # [need, B, H]
+
+        cond_kw.update(
+            cond_rate=cfg.cond_rate,
+            ext_proj=tuple(proj(t) for t in params["tiers"]),
+            cond_offsets=jnp.stack([pos0, r0]).astype(jnp.int32))
+    blocks3d, kstates = generate_full_pallas(
+        window, kstates, 0.0 if greedy else temperature, seed,
+        list(params["tiers"]), params["mlp"],
+        n_top=step_top, q_levels=cfg.q_levels,
+        deterministic=greedy, interpret=interpret,
+        rnn_type=cfg.rnn_type, weights_dtype=cfg.compute_dtype,
+        stream_top=stream_top, **cond_kw)
+    # [n_top, B, lookback] -> [B, n_top*lookback]
+    samples = jnp.moveaxis(blocks3d, 0, 1).reshape(
+        n_seqs, step_top * lookback)
+    return samples, kstates, samples[:, -lookback:]
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "n_steps",
@@ -465,8 +494,8 @@ def generate_levels(params, cfg: SampleRNNConfig, n_seqs: int, length: int,
     # for a small non-megakernel model through StreamingGenerator)
     levels, states_f, hist_f = _xla_generate(
         params, hist, tuple(states0), key, cond,
-        jnp.float32(temperature if temperature is not None else 1.0),
-        jnp.int32(cond_pos0),
+        np.float32(temperature if temperature is not None else 1.0),
+        np.int32(cond_pos0),
         cfg=cfg, n_steps=n_steps, use_pallas=use_pallas,
         greedy=temperature is None)
     if return_state:
@@ -604,6 +633,18 @@ class StreamingGenerator:
                 f"{cond.shape}")
         if cond.shape[1] == 0:
             raise ValueError("empty conditioning stream")
+        # bucket the frame count to the next power of two by repeating
+        # the last row: decode past the stream's end clamps to that row
+        # anyway, so the padded stream is SEMANTICALLY IDENTICAL — and
+        # the jitted decode (keyed on the cond shape) compiles one
+        # program per bucket instead of one per utterance length
+        f = cond.shape[1]
+        bucket = 1 << (f - 1).bit_length()
+        if bucket != f:
+            cond = np.concatenate(
+                [cond, np.broadcast_to(cond[:, -1:],
+                                       (cond.shape[0], bucket - f,
+                                        cond.shape[2]))], axis=1)
         self._cond_stream = jnp.asarray(cond)
         return self
 

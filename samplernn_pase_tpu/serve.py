@@ -16,16 +16,19 @@ for b=1; see docs/PERF.md). A slot that is not serving a request still
 computes (garbage that nobody reads); that is inherent to static-shape
 batching and is exactly the trade continuous-batching servers make.
 
-Per-lane conditioning without a kernel change: each emit assembles the
-call's cond rows on the host — lane ``l`` contributes ITS next
-``chunk // cond_rate`` rows (clamping past its stream's end, matching
-``fit_cond_stream`` semantics) — and the batch decodes with
-``cond_pos0 = 0``. Row boundaries then land identically for every lane
-provided each lane's local position stays a multiple of ``cond_rate``,
-which the pool guarantees by requiring conditioned chunks to be
-multiples of ``lcm(lookback, cond_rate)`` (e.g. 1280 samples = 80 ms
-at 16 kHz for the flagship's lookback 256 x cond_rate 160). Host cost
-is a [n_lanes, chunk/cond_rate, D] float gather per chunk — noise.
+Per-lane conditioning without a kernel change: every lane's stream
+lives DEVICE-resident (uploaded once at ``start()``, padded to the
+pool's frame cap by repeating its last row — exactly the
+clamp-past-end semantics), and each emit gathers lane ``l``'s next
+``chunk // cond_rate`` rows on device at its own cursor; the batch
+then decodes with ``cond_pos0 = 0``. Row boundaries land identically
+for every lane provided each lane's local position stays a multiple of
+``cond_rate``, which the pool guarantees by requiring conditioned
+chunks to be multiples of ``lcm(lookback, cond_rate)`` (e.g. 1280
+samples = 80 ms at 16 kHz for the flagship's lookback 256 x cond_rate
+160). The steady-state emit path touches the host only to dispatch —
+on a remote-attached host, serving latency is round-trip-bound, not
+compute-bound (docs/PERF.md pool table).
 
 JAX's functional arrays make the lifecycle race-free for enqueue-ahead
 serving loops: ``start()``/``stop()`` build NEW state arrays, so chunks
@@ -79,7 +82,8 @@ class StreamPool:
 
     def __init__(self, params, cfg: SampleRNNConfig, n_lanes: int,
                  temperature: float | None = 1.0, key=None,
-                 use_pallas: bool | str | None = None):
+                 use_pallas: bool | str | None = None,
+                 max_cond_frames: int = 1024):
         if n_lanes < 1:
             raise ValueError("n_lanes must be >= 1")
         self.params, self.cfg, self.n = params, cfg, int(n_lanes)
@@ -91,11 +95,26 @@ class StreamPool:
                              quantize_zero(cfg.q_levels), jnp.int32)
         self._free = list(range(self.n - 1, -1, -1))   # pop() -> lane 0 first
         self.active: set[int] = set()
-        # host-side per-lane conditioning: full stream + row cursor
-        self._cond: list[np.ndarray | None] = [None] * self.n
-        self._cond_row: list[int] = [0] * self.n
+        # DEVICE-resident per-lane conditioning: each lane's stream is
+        # uploaded ONCE at start() (padded to max_cond_frames by
+        # repeating its last row — identical to clamp-past-end) and the
+        # chunk's rows are gathered on device per emit. Serving latency
+        # through a remote-attached host is round-trip-bound, so the
+        # steady-state emit must touch the host only to dispatch —
+        # re-uploading assembled rows each chunk measured ~35% slower
+        # at n_lanes=128 (docs/PERF.md pool table). HBM cost:
+        # n_lanes x max_cond_frames x cond_dim x 4 bytes.
+        self._f_cap = int(max_cond_frames)
+        self._cond_buf = (jnp.zeros((self.n, self._f_cap, cfg.cond_dim),
+                                    jnp.float32)
+                          if cfg.cond_dim else None)
+        self._cursors = jnp.zeros((self.n,), jnp.int32)
+        # host mirror (prime() needs the scalar) + device-resident
+        # array so speaker-model emits upload nothing per chunk
         self._speakers = (np.zeros((self.n,), np.int32)
                           if cfg.n_speakers else None)
+        self._speakers_dev = (jnp.zeros((self.n,), jnp.int32)
+                              if cfg.n_speakers else None)
 
     # -- lifecycle -------------------------------------------------------
     def start(self, cond=None, speaker=None, seed_levels=None,
@@ -129,6 +148,11 @@ class StreamPool:
                 raise ValueError(
                     f"cond must be [frames, {self.cfg.cond_dim}], "
                     f"got {cond.shape}")
+            if cond.shape[0] > self._f_cap:
+                raise ValueError(
+                    f"cond stream has {cond.shape[0]} frames > pool "
+                    f"max_cond_frames={self._f_cap}; raise "
+                    "max_cond_frames at construction")
         elif cond is not None:
             raise ValueError("cond passed to an unconditioned model")
         if self.cfg.n_speakers:
@@ -150,10 +174,18 @@ class StreamPool:
         lane = self._free.pop() if lane is None else (
             self._free.remove(lane) or lane)
         if self.cfg.cond_dim:
-            self._cond[lane] = cond
-            self._cond_row[lane] = 0
+            if cond.shape[0] < self._f_cap:   # pad: repeat the last row
+                cond = np.concatenate(
+                    [cond, np.broadcast_to(
+                        cond[-1:], (self._f_cap - cond.shape[0],
+                                    cond.shape[1]))], axis=0)
+            self._cond_buf = self._cond_buf.at[lane].set(
+                jnp.asarray(cond))
+            self._cursors = self._cursors.at[lane].set(0)
         if self.cfg.n_speakers:
             self._speakers[lane] = int(speaker)
+            self._speakers_dev = self._speakers_dev.at[lane].set(
+                int(speaker))
         # fresh per-lane state: learned h0 + q_zero history
         resets = jnp.zeros((self.n,), jnp.float32).at[lane].set(1.0)
         self.states = samplernn.reset_state(self.params, self.cfg,
@@ -179,22 +211,21 @@ class StreamPool:
         if lane not in self.active:
             raise ValueError(f"lane {lane} is not active")
         self.active.remove(lane)
-        self._cond[lane] = None
         self._free.append(lane)
 
     # -- decode ----------------------------------------------------------
     def _chunk_cond(self, n_samples: int) -> jnp.ndarray:
-        """Assemble this call's [n_lanes, n/cond_rate, D] cond rows from
-        each lane's stream at its own cursor (clamp past the end);
-        inactive lanes contribute zeros."""
+        """Gather this call's [n_lanes, n/cond_rate, D] cond rows ON
+        DEVICE from each lane's stream at its own cursor (rows past a
+        stream's end repeat its last row via the start()-time padding).
+        No host->device transfer on the emit path."""
         rows = n_samples // self.cfg.cond_rate
-        out = np.zeros((self.n, rows, self.cfg.cond_dim), np.float32)
-        for lane in self.active:
-            stream, r0 = self._cond[lane], self._cond_row[lane]
-            idx = np.minimum(np.arange(r0, r0 + rows), len(stream) - 1)
-            out[lane] = stream[idx]
-            self._cond_row[lane] = r0 + rows
-        return jnp.asarray(out)
+        idx = jnp.clip(self._cursors[:, None] + jnp.arange(rows),
+                       0, self._f_cap - 1)             # [B, rows]
+        out = jnp.take_along_axis(self._cond_buf, idx[:, :, None],
+                                  axis=1)
+        self._cursors = self._cursors + rows
+        return out
 
     def emit(self, n_samples: int):
         """Advance every lane n_samples and return [n_lanes, n_samples]
@@ -213,8 +244,7 @@ class StreamPool:
                     f"lcm(lookback, cond_rate) = {align}, got {n_samples}")
             cond = self._chunk_cond(n_samples)
         self.key, sub = jax.random.split(self.key)
-        spk = (jnp.asarray(self._speakers)
-               if self._speakers is not None else None)
+        spk = self._speakers_dev
         levels, self.states, self.hist = gen.generate_levels(
             self.params, self.cfg, self.n, n_samples, self.temperature,
             sub, cond=cond, initial_states=self.states, hist=self.hist,

@@ -1,0 +1,121 @@
+"""Multi-stream serving latency: `serve.StreamPool` on the flagship
+conditioned TTS config (docs/PERF.md "Streaming / serving profile").
+
+Measures per-chunk wall time for an n-lane pool emitting 1280-sample
+chunks (80 ms of 16 kHz audio — the lcm(lookback=256, cond_rate=160)
+alignment the conditioned pool requires), with per-lane cond streams
+attached and one mid-run join + leave to exercise the lifecycle at
+serving time. Enqueue-ahead loop (materialize chunk i-1 after
+dispatching chunk i), per-chunk latency measured around each dispatch+
+drain pair. (Correctness of the measured path — pool lane == solo
+generator — is pinned by tests/test_serve.py in greedy mode.)
+
+Output: one JSON line per pool size + a summary.
+"""
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import numpy as np
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+CHUNK = 1280           # lcm(256, 160) = 80 ms @ 16 kHz
+N_CHUNKS = 24
+
+
+def run_pool(params, cfg, n_lanes, rng):
+    from samplernn_pase_tpu.serve import StreamPool
+
+    n_rows = (N_CHUNKS + 2) * CHUNK // cfg.cond_rate
+    conds = [rng.normal(size=(n_rows, cfg.cond_dim)).astype(np.float32)
+             for _ in range(n_lanes + 1)]
+    pool = StreamPool(params, cfg, n_lanes, temperature=0.95,
+                      key=jax.random.PRNGKey(0))
+    lanes = [pool.start(cond=conds[i]) for i in range(n_lanes)]
+    np.asarray(pool.emit(CHUNK))          # compile + warm
+    for lane in lanes:
+        pool.stop(lane)
+    lanes = [pool.start(cond=conds[i]) for i in range(n_lanes)]
+
+    times, prev = [], None
+    for i in range(N_CHUNKS):
+        if i == N_CHUNKS // 2:            # lifecycle churn mid-run
+            pool.stop(lanes[-1])
+            lanes[-1] = pool.start(cond=conds[n_lanes])
+        t0 = time.perf_counter()
+        cur = pool.emit(CHUNK)
+        if prev is not None:
+            np.asarray(prev)
+        prev = cur
+        times.append(time.perf_counter() - t0)
+    np.asarray(prev)
+    ms = np.asarray(times[1:]) * 1e3      # steady state
+    chunk_ms = CHUNK / 16_000 * 1e3
+    return {
+        "metric": f"pool_serving_n{n_lanes}_chunk{CHUNK}",
+        "median_ms_per_chunk": round(float(np.median(ms)), 2),
+        "worst_ms": round(float(ms.max()), 2),
+        "per_stream_realtime_x": round(chunk_ms / float(np.median(ms)), 2),
+        "aggregate_realtime_x": round(
+            n_lanes * chunk_ms / float(np.median(ms)), 1),
+    }
+
+
+def run_solo_conditioned(params, cfg, rng, chunk=1024, n_chunks=30):
+    """Conditioned b=1 stream via set_cond (the TTS serving path),
+    enqueue-ahead — the conditioned twin of PERF.md's b=1 rows."""
+    from samplernn_pase_tpu import generate as gen
+
+    emb = rng.normal(size=((n_chunks + 2) * chunk // cfg.cond_rate,
+                           cfg.cond_dim)).astype(np.float32)
+    sg = gen.StreamingGenerator(params, cfg, n_seqs=1, temperature=0.95,
+                                key=jax.random.PRNGKey(0))
+    sg.set_cond(emb)
+    np.asarray(sg.emit(chunk))            # compile + warm
+    sg.reset()
+    times, prev = [], None
+    for _ in range(n_chunks):
+        t0 = time.perf_counter()
+        cur = sg.emit(chunk)
+        if prev is not None:
+            np.asarray(prev)
+        prev = cur
+        times.append(time.perf_counter() - t0)
+    np.asarray(prev)
+    ms = np.asarray(times[1:]) * 1e3
+    chunk_ms = chunk / 16_000 * 1e3
+    return {
+        "metric": f"solo_conditioned_b1_chunk{chunk}",
+        "median_ms_per_chunk": round(float(np.median(ms)), 2),
+        "worst_ms": round(float(ms.max()), 2),
+        "realtime_x": round(chunk_ms / float(np.median(ms)), 2),
+    }
+
+
+def main():
+    if jax.default_backend() not in ("tpu", "axon"):
+        print(json.dumps({"skipped": True,
+                          "reason": f"no TPU ({jax.default_backend()})"}))
+        return 0
+    from samplernn_pase_tpu.config import SampleRNNConfig
+    from samplernn_pase_tpu.models import samplernn
+
+    cfg = SampleRNNConfig(frame_sizes=(16, 4), dim=1024, embed_dim=256,
+                          cond_dim=256, cond_rate=160,
+                          compute_dtype="bfloat16")
+    params = samplernn.init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    print(json.dumps(run_solo_conditioned(params, cfg, rng)), flush=True)
+    for n_lanes in (8, 32, 128):
+        print(json.dumps(run_pool(params, cfg, n_lanes, rng)), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
