@@ -5,9 +5,11 @@ dispatches the work and returns immediately; the array only blocks when
 materialized (np.asarray).  A serving loop that enqueues chunk t+1
 BEFORE materializing chunk t therefore overlaps the host->device
 dispatch latency (the dominant per-chunk cost at batch 1 on a
-remote-attached host) with playback: measured 14.3 ms per 64 ms chunk
-(4.5x realtime) at b=1 on a tunnel-attached v5e vs 44.7 ms when
-blocking each chunk (docs/PERF.md "Streaming / serving profile").
+remote-attached host) with playback: measured 36.6 ms per 64 ms chunk
+(1.75x realtime) at b=1 on a tunnel-attached v5e vs 45.1 ms when
+blocking each chunk (docs/PERF.md "Streaming / serving profile" —
+the drain round-trip dominates both; a playback-threaded server pays
+only the ~7-10 ms dispatch).
 
     python examples/serving_stream.py [out.wav]
 

@@ -11,8 +11,8 @@ Why this shape: every batch lane is independent in the model (per-lane
 RNN state, per-lane MLP), so a pool lane's stream is IDENTICAL to a
 solo b=1 generator given the same conditioning — equality-tested in
 ``tests/test_serve.py`` — while the chip amortizes the weight traffic
-across all lanes (b=128 batch decode measures ~750x realtime vs 4.5x
-for b=1; see docs/PERF.md). A slot that is not serving a request still
+across all lanes (b=128 batch decode measures ~750x realtime vs
+~1.8x for b=1 through this box's tunnel; see docs/PERF.md). A slot that is not serving a request still
 computes (garbage that nobody reads); that is inherent to static-shape
 batching and is exactly the trade continuous-batching servers make.
 

@@ -67,16 +67,20 @@ def run_pool(params, cfg, n_lanes, rng):
     }
 
 
-def run_solo_conditioned(params, cfg, rng, chunk=1024, n_chunks=30):
-    """Conditioned b=1 stream via set_cond (the TTS serving path),
-    enqueue-ahead — the conditioned twin of PERF.md's b=1 rows."""
+def run_solo(params, cfg, rng, chunk=1024, n_chunks=30,
+             conditioned=True):
+    """b=1 stream, enqueue-ahead, timed per iteration as dispatch(i) +
+    drain(i-1) — run both conditioned (set_cond, the TTS serving path)
+    and unconditioned through the SAME loop so the cost of conditioning
+    itself is directly readable from the pair."""
     from samplernn_pase_tpu import generate as gen
 
-    emb = rng.normal(size=((n_chunks + 2) * chunk // cfg.cond_rate,
-                           cfg.cond_dim)).astype(np.float32)
     sg = gen.StreamingGenerator(params, cfg, n_seqs=1, temperature=0.95,
                                 key=jax.random.PRNGKey(0))
-    sg.set_cond(emb)
+    if conditioned:
+        emb = rng.normal(size=((n_chunks + 2) * chunk // cfg.cond_rate,
+                               cfg.cond_dim)).astype(np.float32)
+        sg.set_cond(emb)
     np.asarray(sg.emit(chunk))            # compile + warm
     sg.reset()
     times, prev = [], None
@@ -91,7 +95,8 @@ def run_solo_conditioned(params, cfg, rng, chunk=1024, n_chunks=30):
     ms = np.asarray(times[1:]) * 1e3
     chunk_ms = chunk / 16_000 * 1e3
     return {
-        "metric": f"solo_conditioned_b1_chunk{chunk}",
+        "metric": (f"solo_{'conditioned' if conditioned else 'plain'}"
+                   f"_b1_chunk{chunk}"),
         "median_ms_per_chunk": round(float(np.median(ms)), 2),
         "worst_ms": round(float(ms.max()), 2),
         "realtime_x": round(chunk_ms / float(np.median(ms)), 2),
@@ -111,7 +116,12 @@ def main():
                           compute_dtype="bfloat16")
     params = samplernn.init_params(jax.random.PRNGKey(0), cfg)
     rng = np.random.default_rng(0)
-    print(json.dumps(run_solo_conditioned(params, cfg, rng)), flush=True)
+    ucfg = SampleRNNConfig(frame_sizes=(16, 4), dim=1024, embed_dim=256,
+                           compute_dtype="bfloat16")
+    uparams = samplernn.init_params(jax.random.PRNGKey(0), ucfg)
+    print(json.dumps(run_solo(uparams, ucfg, rng, conditioned=False)),
+          flush=True)
+    print(json.dumps(run_solo(params, cfg, rng)), flush=True)
     for n_lanes in (8, 32, 128):
         print(json.dumps(run_pool(params, cfg, n_lanes, rng)), flush=True)
     return 0
