@@ -155,3 +155,29 @@ def test_pool_validation_errors():
         upool.start(cond=cond)
     with pytest.raises(ValueError, match="multiple of lookback"):
         upool.start(); upool.emit(3)
+
+
+def test_pool_conditioned_slot_reuse_resets_cursor():
+    """Reusing a slot for a new conditioned stream must restart its
+    cond cursor and replace the device-resident stream — the recycled
+    lane equals a fresh solo generator on the NEW stream even though
+    the slot previously advanced deep into another one."""
+    cfg = SampleRNNConfig(frame_sizes=(4, 2), dim=16, embed_dim=8,
+                          cond_dim=6, cond_rate=4,
+                          compute_dtype="float32")
+    params = _mk(cfg, 7)
+    chunk = int(np.lcm(cfg.lookback, cfg.cond_rate)) * 2
+    rng = np.random.default_rng(2)
+    cond_a = rng.normal(size=(12, 6)).astype(np.float32)
+    cond_b = rng.normal(size=(9, 6)).astype(np.float32)
+    pool = StreamPool(params, cfg, n_lanes=1, temperature=None)
+    a = pool.start(cond=cond_a)
+    for _ in range(3):
+        np.asarray(pool.emit(chunk))      # cursor deep into stream A
+    pool.stop(a)
+    b = pool.start(cond=cond_b)
+    assert b == a
+    got = np.concatenate(
+        [np.asarray(pool.emit(chunk)) for _ in range(2)], axis=1)[b]
+    np.testing.assert_array_equal(
+        got, _solo(params, cfg, 2, chunk, cond=cond_b))
