@@ -251,6 +251,34 @@ def main():
         print(f"train kernel {rt} f32 hw: dloss={dl:.2e} dgrad={dg:.2e}")
         assert dl < 1e-4, dl
         assert dg < 5e-3, dg
+
+    # --- masked NLL (q_zero tail padding) on hardware (round 4) ---
+    # every floor/smoke corpus is padding-free, so the MASKED signature
+    # (per-lane valid counts; the C2/C13 drop-tail parity fix) would
+    # otherwise never compile on the chip; pin its value against a
+    # float64 host reference and its difference from the unmasked mean
+    cfgM = SampleRNNConfig(frame_sizes=(16, 4), dim=128, embed_dim=32,
+                           compute_dtype="float32")
+    pM = srnn_mod.init_params(jax.random.PRNGKey(8), cfgM)
+    bM, tM = 4, 4 * cfgM.lookback
+    xM = jax.random.randint(jax.random.PRNGKey(9),
+                            (bM, cfgM.lookback + tM), 0, 256, jnp.int32)
+    yM = xM[:, cfgM.lookback:]
+    stM = srnn_mod.initial_state(pM, cfgM, bM)
+    validM = jnp.asarray([tM, tM // 2, tM // 4, 16], jnp.int32)
+    logitsM, _ = srnn_mod.forward(pM, cfgM, xM, stM)
+    masked = float(srnn_mod.nll_bits(logitsM, yM, validM))
+    unmasked = float(srnn_mod.nll_bits(logitsM, yM))
+    lg = np.asarray(logitsM, np.float64)
+    lse = np.log(np.exp(lg - lg.max(-1, keepdims=True)).sum(-1)) \
+        + lg.max(-1)
+    picked = np.take_along_axis(lg, np.asarray(yM)[..., None], -1)[..., 0]
+    mk = np.arange(tM)[None, :] < np.asarray(validM)[:, None]
+    want = ((lse - picked) * mk).sum() / mk.sum() / np.log(2.0)
+    print(f"masked NLL hw: masked={masked:.5f} host={want:.5f} "
+          f"unmasked={unmasked:.5f}")
+    assert abs(masked - want) < 1e-3, (masked, want)
+    assert abs(masked - unmasked) > 1e-4
     print("TPU check OK")
 
 
