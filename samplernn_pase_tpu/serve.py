@@ -49,11 +49,12 @@ from .models import samplernn
 from .ops.mulaw import quantize_zero
 
 
-def _scatter_lane(pool_tree, one_tree, lane: int):
+def _scatter_lane(pool_tree, one_tree, lane):
     """Write a batch=1 state pytree into one lane of a pooled pytree.
 
     State leaves are [n_rnn, (2,)? B, H] (batch axis -2); the b=1 leaf
-    collapses to the same shape with B=1.
+    collapses to the same shape with B=1. ``lane`` should be a traced
+    device scalar so scatters on different lanes share one executable.
     """
     return tuple(
         jax.tree.map(
@@ -170,27 +171,34 @@ class StreamPool:
             if seed.ndim != 2 or seed.shape[0] != 1:
                 raise ValueError("seed_levels must be one lane: [L] or "
                                  f"[1, L], got {np.shape(seed_levels)}")
-        # claim + commit (nothing below raises)
+        # claim + commit (nothing below raises). The lane index becomes
+        # a TRACED device scalar for every array update: a python int
+        # would be baked into each eager program as a constant, so a
+        # pool that joins on many different lanes would compile one
+        # tiny program PER LANE INDEX -- measured as multi-second worst
+        # chunks at n_lanes=128. With a traced index every join on any
+        # lane reuses the same cached executables.
         lane = self._free.pop() if lane is None else (
             self._free.remove(lane) or lane)
+        la = jnp.int32(lane)
         if self.cfg.cond_dim:
             if cond.shape[0] < self._f_cap:   # pad: repeat the last row
                 cond = np.concatenate(
                     [cond, np.broadcast_to(
                         cond[-1:], (self._f_cap - cond.shape[0],
                                     cond.shape[1]))], axis=0)
-            self._cond_buf = self._cond_buf.at[lane].set(
+            self._cond_buf = self._cond_buf.at[la].set(
                 jnp.asarray(cond))
-            self._cursors = self._cursors.at[lane].set(0)
+            self._cursors = self._cursors.at[la].set(0)
         if self.cfg.n_speakers:
             self._speakers[lane] = int(speaker)
-            self._speakers_dev = self._speakers_dev.at[lane].set(
-                int(speaker))
+            self._speakers_dev = self._speakers_dev.at[la].set(
+                np.int32(speaker))
         # fresh per-lane state: learned h0 + q_zero history
-        resets = jnp.zeros((self.n,), jnp.float32).at[lane].set(1.0)
+        resets = (jnp.arange(self.n) == la).astype(jnp.float32)
         self.states = samplernn.reset_state(self.params, self.cfg,
                                             self.states, resets)
-        self.hist = self.hist.at[lane].set(
+        self.hist = self.hist.at[la].set(
             quantize_zero(self.cfg.q_levels))
         if seed is not None:
             sc = None
@@ -200,8 +208,8 @@ class StreamPool:
                     if self._speakers is not None else None)
             s1, h1 = gen.prime(self.params, self.cfg, seed, cond=sc,
                                speakers=spk1)
-            self.states = _scatter_lane(self.states, s1, lane)
-            self.hist = self.hist.at[lane].set(h1[0])
+            self.states = _scatter_lane(self.states, s1, la)
+            self.hist = self.hist.at[la].set(h1[0])
         self.active.add(lane)
         return lane
 
