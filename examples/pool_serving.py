@@ -37,7 +37,7 @@ def main(out_path="pool_demo.wav"):
                           cond_dim=32, cond_rate=64, n_speakers=4,
                           compute_dtype="float32")
     params = samplernn.init_params(jax.random.PRNGKey(0), cfg)
-    chunk = np.lcm(cfg.lookback, cfg.cond_rate) * 2     # 1536 samples
+    chunk = np.lcm(cfg.lookback, cfg.cond_rate) * 2     # 128 samples
     rng = np.random.default_rng(0)
 
     def fake_utterance_embedding(n_chunks):

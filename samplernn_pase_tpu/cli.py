@@ -214,7 +214,12 @@ def _split_restored(exp, restored):
     jointly-trained model)."""
     p = restored["params"]
     if isinstance(p, dict) and "joint" in p:
-        return p["joint"]["srnn"], (p["joint"]["pase"], p["bn"])
+        from samplernn_pase_tpu.models.pase import absorb_legacy_bias
+        # pre-round-4 joint checkpoints carry a conv bias the bias-free
+        # forward would silently drop — fold it into the running mean
+        # (eval output unchanged) before handing the encoder out
+        pp, bn, _ = absorb_legacy_bias(p["joint"]["pase"], p["bn"])
+        return p["joint"]["srnn"], (pp, bn)
     return p, None
 
 
@@ -530,10 +535,14 @@ def cmd_evaluate(args):
                   "test": corpus.test_idx}[args.split]
                  or corpus.train_idx)
     # splits smaller than batch_size would recycle utterances into lanes
-    # (dataset.batcher) and double-count them — run at the split's size
-    # instead so every utterance is scored exactly once
+    # (dataset.batcher) and double-count them. Running at the split's
+    # size is no better: with one utterance per lane the batcher stops
+    # at the SHORTEST lane (min over lane chunk counts), silently
+    # truncating every longer utterance. One lane scores everything —
+    # all utterances concatenate into a single stream (reset flags at
+    # utterance starts), so each is scored exactly once, in full
     if len(split_idx) < batch_size:
-        batch_size = len(split_idx)
+        batch_size = 1
     # what conditioning the eval actually uses — a cond_dim model
     # evaluated with NONE (forgotten --cond-dir) reports a misleading
     # NLL, so tag it and warn

@@ -618,10 +618,25 @@ class StreamingGenerator:
         past the last row clamps to it (fit_cond_stream semantics).
         The stream is device-resident once; each emit passes it with the
         advancing sample cursor, so chunk boundaries need not align to
-        cond_rate and every chunk reuses ONE compiled program."""
+        cond_rate and every chunk reuses ONE compiled program.
+
+        Attaching mid-stream (pos > 0) reads the NEW stream from the
+        current sample cursor — the progressive-extension pattern (an
+        encoder producing more rows of the SAME utterance). For a new
+        utterance call reset() first; with pending buffered lookahead
+        this raises (the buffer belongs to the previous stream)."""
         if not (self.cfg.cond_dim and self.cfg.cond_rate):
             raise ValueError(
                 "set_cond on a model without cond_dim/cond_rate")
+        if self._buffer is not None and self._buffer.shape[1]:
+            # mirror emit(cond=...)'s pending-lookahead guard: buffered
+            # samples were generated under the PREVIOUS stream and
+            # would be served as if conditioned on the new one
+            raise ValueError(
+                f"set_cond with {self._buffer.shape[1]} samples of "
+                "pending lookahead audio generated under the previous "
+                "cond stream; reset() (new utterance) or drain the "
+                "buffer first")
         cond = np.asarray(cond, np.float32)
         if cond.ndim == 2:
             cond = np.broadcast_to(cond[None], (self.n, *cond.shape))
@@ -640,11 +655,8 @@ class StreamingGenerator:
         # program per bucket instead of one per utterance length
         f = cond.shape[1]
         bucket = 1 << (f - 1).bit_length()
-        if bucket != f:
-            cond = np.concatenate(
-                [cond, np.broadcast_to(cond[:, -1:],
-                                       (cond.shape[0], bucket - f,
-                                        cond.shape[2]))], axis=1)
+        if bucket != f:   # repeat-last-row: the one clamp definition
+            cond = fit_cond_stream(cond, bucket)
         self._cond_stream = jnp.asarray(cond)
         return self
 

@@ -326,6 +326,37 @@ def load_torch_pase(path, cfg: PASEConfig, strict: bool = True):
     return params, bn_state, report
 
 
+def absorb_legacy_bias(params, bn_state):
+    """Migrate a pre-round-4 checkpoint tree whose conv blocks still
+    carry a bias ``b``: fold it into the BN running mean (eval output
+    ``conv + b`` normalized by ``mean`` equals ``conv`` normalized by
+    ``mean - b`` exactly) and ZERO the leaf rather than deleting it, so
+    a resumed optimizer state keeps a matching tree while the
+    (bias-free) forward never reads it. No-op on current trees."""
+    params = dict(params)
+    bn_state = dict(bn_state)
+    changed = False
+    if any("b" in blk for blk in params.get("blocks", []))             or "b" in params.get("proj", {}):
+        blocks, bstates = [], []
+        for blk, st in zip(params["blocks"], bn_state["blocks"]):
+            if "b" in blk:
+                st = dict(st, mean=st["mean"] - blk["b"])
+                blk = dict(blk, b=jnp.zeros_like(blk["b"]))
+                changed = True
+            blocks.append(blk)
+            bstates.append(st)
+        params["blocks"] = blocks
+        bn_state["blocks"] = bstates
+        if "b" in params["proj"]:
+            bn_state["proj"] = dict(bn_state["proj"],
+                                    mean=bn_state["proj"]["mean"]
+                                    - params["proj"]["b"])
+            params["proj"] = dict(params["proj"],
+                                  b=jnp.zeros_like(params["proj"]["b"]))
+            changed = True
+    return params, bn_state, changed
+
+
 def export_torch_pase(params, bn_state, path=None):
     """Export our encoder pytree as an upstream-style torch state_dict
     (the inverse key mapping of :func:`load_torch_pase`) — used by the
@@ -352,6 +383,12 @@ def export_torch_pase(params, bn_state, path=None):
                                       bn_state["blocks"])):
         p = f"blocks.{i + 1}"
         sd[f"{p}.conv.weight"] = t(blk["w"])
+        # upstream convs carry a bias parameter our blocks do not
+        # (BN-degenerate, folded into running_mean on import); export an
+        # explicit zero so torch's default strict load_state_dict finds
+        # every key -- importing the export back folds the zero into the
+        # mean, a no-op, keeping the round-trip exact
+        sd[f"{p}.conv.bias"] = t(np.zeros(blk["w"].shape[0]))
         sd[f"{p}.norm.weight"] = t(blk["bn_scale"])
         sd[f"{p}.norm.bias"] = t(blk["bn_bias"])
         sd[f"{p}.norm.running_mean"] = t(st["mean"])
@@ -359,6 +396,7 @@ def export_torch_pase(params, bn_state, path=None):
         sd[f"{p}.act.weight"] = t(blk["alpha"])
     proj, pst = params["proj"], bn_state["proj"]
     sd["proj.conv.weight"] = t(proj["w"])
+    sd["proj.conv.bias"] = t(np.zeros(proj["w"].shape[0]))
     sd["proj.norm.weight"] = t(proj["bn_scale"])
     sd["proj.norm.bias"] = t(proj["bn_bias"])
     sd["proj.norm.running_mean"] = t(pst["mean"])

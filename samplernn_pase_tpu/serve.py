@@ -164,6 +164,7 @@ class StreamPool:
                 raise ValueError(f"speaker {speaker} out of range "
                                  f"[0, {self.cfg.n_speakers})")
         seed = None
+        sc = None
         if seed_levels is not None:
             seed = jnp.asarray(seed_levels, jnp.int32)
             if seed.ndim == 1:
@@ -171,6 +172,13 @@ class StreamPool:
             if seed.ndim != 2 or seed.shape[0] != 1:
                 raise ValueError("seed_levels must be one lane: [L] or "
                                  f"[1, L], got {np.shape(seed_levels)}")
+            if seed_cond is not None:
+                sc = np.asarray(seed_cond, np.float32)
+                if sc.ndim != 2 or sc.shape[1] != self.cfg.cond_dim:
+                    raise ValueError(
+                        f"seed_cond must be [frames, {self.cfg.cond_dim}]"
+                        f", got {sc.shape}")
+                sc = sc[None]
         # claim + commit (nothing below raises). The lane index becomes
         # a TRACED device scalar for every array update: a python int
         # would be baked into each eager program as a constant, so a
@@ -182,11 +190,9 @@ class StreamPool:
             self._free.remove(lane) or lane)
         la = jnp.int32(lane)
         if self.cfg.cond_dim:
-            if cond.shape[0] < self._f_cap:   # pad: repeat the last row
-                cond = np.concatenate(
-                    [cond, np.broadcast_to(
-                        cond[-1:], (self._f_cap - cond.shape[0],
-                                    cond.shape[1]))], axis=0)
+            # pad to the frame cap by repeating the last row — the one
+            # clamp-extend definition (gen.fit_cond_stream)
+            cond = gen.fit_cond_stream(cond, self._f_cap)
             self._cond_buf = self._cond_buf.at[la].set(
                 jnp.asarray(cond))
             self._cursors = self._cursors.at[la].set(0)
@@ -201,13 +207,17 @@ class StreamPool:
         self.hist = self.hist.at[la].set(
             quantize_zero(self.cfg.q_levels))
         if seed is not None:
-            sc = None
-            if seed_cond is not None:
-                sc = np.asarray(seed_cond, np.float32)[None]
             spk1 = (np.asarray([self._speakers[lane]], np.int32)
                     if self._speakers is not None else None)
-            s1, h1 = gen.prime(self.params, self.cfg, seed, cond=sc,
-                               speakers=spk1)
+            try:
+                s1, h1 = gen.prime(self.params, self.cfg, seed, cond=sc,
+                                   speakers=spk1)
+            except Exception:
+                # never leak the claimed slot: the lane's state was
+                # already reset above, so returning it to the free list
+                # is safe
+                self._free.append(lane)
+                raise
             self.states = _scatter_lane(self.states, s1, la)
             self.hist = self.hist.at[la].set(h1[0])
         self.active.add(lane)

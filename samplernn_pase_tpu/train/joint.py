@@ -292,8 +292,16 @@ class JointTrainer(Trainer):
         return {"joint": self.params, "bn": self.bn_state}
 
     def _set_ckpt_params(self, p):
-        self.params = p["joint"]
-        self.bn_state = p["bn"]
+        from samplernn_pase_tpu.models.pase import absorb_legacy_bias
+        # pre-round-4 checkpoints: fold the legacy conv bias into the
+        # running mean and ZERO the leaf (kept, so the restored Adam
+        # state's tree still matches) — eval output bit-identical to
+        # what the checkpoint trained
+        pase_p, bn, changed = absorb_legacy_bias(p["joint"]["pase"],
+                                                 p["bn"])
+        self.params = ({"srnn": p["joint"]["srnn"], "pase": pase_p}
+                       if changed else p["joint"])
+        self.bn_state = bn if changed else p["bn"]
         if self.mesh is not None:
             # restore skips __init__'s mesh placement — recommit the BN
             # state so a mesh resume never runs on unsharded host arrays

@@ -463,3 +463,47 @@ def test_cli_stream_conditioned_matches_oneshot(wav_dir, tmp_path):
               "--temperature", "0", "--cond", str(emb_path)])
     ref, _ = read_wav(sorted(gen_out.glob("*.wav"))[0])
     np.testing.assert_allclose(outs["ahead"], ref, atol=1e-6)
+
+
+def test_cli_evaluate_small_split_scores_every_sample(tmp_path):
+    """Review fix (r4): a split smaller than batch_size runs in ONE
+    lane, so unequal-length utterances are each scored in full — not
+    truncated to the shortest lane. `samples` must equal the split's
+    total real target samples (tail padding masked, nothing recycled)."""
+    import io
+    import sys as _sys
+
+    from samplernn_pase_tpu import cli
+    from samplernn_pase_tpu.data.dataset import WavCorpus
+
+    d = tmp_path / "wavs"
+    d.mkdir()
+    rng = np.random.default_rng(1)
+    lengths = [3000, 1200, 700, 2100]     # deliberately unequal
+    t0 = np.arange(max(lengths)) / 16_000
+    for i, n in enumerate(lengths):
+        x = 0.4 * np.sin(2 * np.pi * (120 + 40 * i) * t0[:n])
+        x += 0.05 * rng.normal(size=n)
+        write_wav(d / f"u{i}.wav", np.clip(x, -1, 1), 16_000)
+    exp = tmp_path / "exp"
+    cli.main([
+        "train", "--dataset", str(d), "--exp-dir", str(exp),
+        "--frame_sizes", "4", "2", "--dim", "16", "--embed_dim", "8",
+        "--batch_size", "2", "--seq_len", "256", "--epochs", "1",
+    ])
+    buf = io.StringIO()
+    stdout = _sys.stdout
+    _sys.stdout = buf
+    try:
+        cli.main(["evaluate", "--ckpt", str(exp), "--dataset", str(d),
+                  "--split", "train", "--batch_size", "8",
+                  "--seq_len", "256"])
+    finally:
+        _sys.stdout = stdout
+    rep = json.loads(buf.getvalue().strip().splitlines()[-1])
+    corpus = WavCorpus.from_folder(d, 256)
+    split = corpus.train_idx or list(range(len(lengths)))
+    total = sum(len(corpus.utterances[i]) for i in split)
+    assert rep["batch_size"] == 1
+    assert rep["samples"] == total, (rep["samples"], total)
+    assert np.isfinite(rep["nll_bits"]) and rep["nll_bits"] > 0

@@ -143,3 +143,55 @@ def test_extract_to_dir_roundtrip(tmp_path):
     assert len(paths) == 3
     e0 = np.load(paths[0])
     assert e0.shape == (400 // 16, 12)
+
+
+def test_absorb_legacy_bias_preserves_function_and_export_has_bias_keys():
+    """Round-4 migration: a pre-round-4 checkpoint pair (conv bias b,
+    running mean tracked on conv+b) must produce the SAME eval output
+    after absorb_legacy_bias folds b away — constructed here as the
+    legacy-equivalent pair (b=d, mean=mean+d) of a clean tree, which
+    represents the identical function. Also: export emits explicit zero
+    conv.bias keys so upstream torch strict load finds every key."""
+    import jax
+    from samplernn_pase_tpu.config import PASEConfig
+    from samplernn_pase_tpu.models import pase as P
+
+    cfg = PASEConfig(sinc_filters=4, sinc_kernel=33,
+                     blocks=((4, 5, 2), (6, 5, 2)), emb_dim=8,
+                     compute_dtype="float32")
+    params, bn = P.init_pase(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    # perturb stats so the fold is not a no-op on zeros
+    for st in bn["blocks"]:
+        st["mean"] = jnp.asarray(
+            rng.normal(size=st["mean"].shape), jnp.float32)
+    wav = jnp.asarray(rng.normal(size=(2, 3200)), jnp.float32)
+    want = np.asarray(P.pase_apply(params, bn, wav, cfg,
+                                   train=False)[0])
+
+    legacy_p = dict(params)
+    legacy_p["blocks"] = [
+        dict(blk, b=jnp.full((blk["w"].shape[0],), 0.5))
+        for blk in params["blocks"]]
+    legacy_p["proj"] = dict(params["proj"],
+                            b=jnp.full((params["proj"]["w"].shape[0],),
+                                       0.25))
+    legacy_bn = dict(bn)
+    legacy_bn["blocks"] = [dict(st, mean=st["mean"] + 0.5)
+                           for st in bn["blocks"]]
+    legacy_bn["proj"] = dict(bn["proj"], mean=bn["proj"]["mean"] + 0.25)
+
+    fp, fbn, changed = P.absorb_legacy_bias(legacy_p, legacy_bn)
+    assert changed
+    assert all(np.all(np.asarray(blk["b"]) == 0) for blk in fp["blocks"])
+    got = np.asarray(P.pase_apply(fp, fbn, wav, cfg,
+                                  train=False)[0])
+    np.testing.assert_allclose(got, want, atol=1e-5)
+    # idempotent on migrated/current trees
+    _, _, changed2 = P.absorb_legacy_bias(
+        {k: v for k, v in params.items()}, bn)
+    assert not changed2
+
+    sd = P.export_torch_pase(params, bn)
+    assert "blocks.1.conv.bias" in sd and "proj.conv.bias" in sd
+    assert float(sd["blocks.1.conv.bias"].abs().sum()) == 0.0

@@ -181,3 +181,22 @@ def test_pool_conditioned_slot_reuse_resets_cursor():
         [np.asarray(pool.emit(chunk)) for _ in range(2)], axis=1)[b]
     np.testing.assert_array_equal(
         got, _solo(params, cfg, 2, chunk, cond=cond_b))
+
+
+def test_pool_rejected_seed_does_not_leak_lane():
+    """Review fix (r4): a start() whose prompt arguments are invalid
+    must not consume the slot — the next valid start succeeds."""
+    cfg = SampleRNNConfig(frame_sizes=(4, 2), dim=16, embed_dim=8,
+                          cond_dim=6, cond_rate=4,
+                          compute_dtype="float32")
+    params = _mk(cfg, 8)
+    pool = StreamPool(params, cfg, n_lanes=1, temperature=None)
+    cond = np.zeros((4, 6), np.float32)
+    with pytest.raises(ValueError, match="seed_cond"):
+        pool.start(cond=cond, seed_levels=np.zeros(16, np.int64),
+                   seed_cond=np.zeros((3, 5), np.float32))  # wrong dim
+    with pytest.raises(ValueError, match="seed_levels"):
+        pool.start(cond=cond,
+                   seed_levels=np.zeros((2, 16), np.int64))  # 2 lanes
+    lane = pool.start(cond=cond)          # slot was never consumed
+    assert lane == 0 and pool.active == {0}

@@ -259,3 +259,23 @@ def test_buffered_refill_bounded():
 def test_fit_cond_stream_empty_raises():
     with pytest.raises(ValueError, match="empty conditioning stream"):
         gen.fit_cond_stream(np.zeros((0, 4), np.float32), 3)
+
+
+def test_set_cond_rejects_pending_lookahead():
+    """Review fix (r4): attaching a new cond stream while buffered
+    lookahead audio (generated under the previous stream) is pending
+    must raise — mirroring emit(cond=...)'s guard."""
+    cfg = SampleRNNConfig(frame_sizes=(4, 2), dim=16, embed_dim=8,
+                          cond_dim=6, cond_rate=4,
+                          compute_dtype="float32")
+    params = samplernn.init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    emb = rng.normal(size=(16, 6)).astype(np.float32)
+    sg = gen.StreamingGenerator(params, cfg, 1, temperature=None,
+                                chunks_per_call=2)
+    sg.set_cond(emb)
+    np.asarray(sg.emit(cfg.lookback))     # leaves lookahead pending
+    with pytest.raises(ValueError, match="pending lookahead"):
+        sg.set_cond(rng.normal(size=(16, 6)).astype(np.float32))
+    sg.reset()
+    sg.set_cond(rng.normal(size=(16, 6)).astype(np.float32))  # ok now
