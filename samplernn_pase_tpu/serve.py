@@ -84,9 +84,14 @@ class StreamPool:
     def __init__(self, params, cfg: SampleRNNConfig, n_lanes: int,
                  temperature: float | None = 1.0, key=None,
                  use_pallas: bool | str | None = None,
-                 max_cond_frames: int = 1024):
+                 max_cond_frames: int = 1024, mesh=None):
         if n_lanes < 1:
             raise ValueError("n_lanes must be >= 1")
+        if mesh is not None and n_lanes % mesh.shape["data"]:
+            raise ValueError(
+                f"n_lanes={n_lanes} must divide over the mesh data "
+                f"axis ({mesh.shape['data']})")
+        self.mesh = mesh
         self.params, self.cfg, self.n = params, cfg, int(n_lanes)
         self.temperature = temperature
         self.key = key if key is not None else jax.random.PRNGKey(0)
@@ -116,6 +121,36 @@ class StreamPool:
                           if cfg.n_speakers else None)
         self._speakers_dev = (jnp.zeros((self.n,), jnp.int32)
                               if cfg.n_speakers else None)
+        if mesh is not None:
+            # multi-chip serving: lanes shard over the mesh 'data' axis
+            # (every lane is independent, so the decode graph needs no
+            # collectives — XLA just partitions the batch dim); params
+            # replicate (or column-shard on an optional 'model' axis)
+            from samplernn_pase_tpu.parallel import mesh as pm
+            self.params = jax.device_put(params,
+                                         pm.shard_params(params, mesh))
+            self._commit_sharded()
+
+    def _commit_sharded(self):
+        """(Re-)place every lane-carrying array with its mesh sharding.
+        Called after lifecycle mutations: eager scatters on sharded
+        arrays can leave unspecified output shardings, and the emit jit
+        should always see the canonical layout."""
+        from samplernn_pase_tpu.parallel import mesh as pm
+        mesh = self.mesh
+        self.states = tuple(
+            jax.tree.map(lambda l: jax.device_put(
+                l, pm.state_sharding(mesh, l.ndim)), t)
+            for t in self.states)
+        self.hist = jax.device_put(self.hist, pm.batch_sharding(mesh, 2))
+        self._cursors = jax.device_put(self._cursors,
+                                       pm.batch_sharding(mesh, 1))
+        if self._cond_buf is not None:
+            self._cond_buf = jax.device_put(self._cond_buf,
+                                            pm.batch_sharding(mesh, 3))
+        if self._speakers_dev is not None:
+            self._speakers_dev = jax.device_put(
+                self._speakers_dev, pm.batch_sharding(mesh, 1))
 
     # -- lifecycle -------------------------------------------------------
     def start(self, cond=None, speaker=None, seed_levels=None,
@@ -220,6 +255,8 @@ class StreamPool:
                 raise
             self.states = _scatter_lane(self.states, s1, la)
             self.hist = self.hist.at[la].set(h1[0])
+        if self.mesh is not None:
+            self._commit_sharded()
         self.active.add(lane)
         return lane
 

@@ -404,3 +404,43 @@ def test_joint_trainer_with_mesh_runs():
     t.run()
     assert t.global_step > 0
     assert np.isfinite(t.validate())
+
+
+def test_stream_pool_sharded_matches_unsharded():
+    """Multi-chip serving: a StreamPool with lanes sharded over the
+    mesh 'data' axis must emit bit-identical audio to the unsharded
+    pool through the full lifecycle — staggered conditioned joins, a
+    prompt join, a stop + slot reuse. Lanes are independent, so the
+    sharded decode needs no collectives; this pins that the lifecycle
+    scatters and the device-resident cond gather survive sharding."""
+    from samplernn_pase_tpu.serve import StreamPool
+
+    cfg = SampleRNNConfig(frame_sizes=(4, 2), dim=16, embed_dim=8,
+                          cond_dim=6, cond_rate=4, n_speakers=3,
+                          compute_dtype="float32")
+    params = samplernn.init_params(jax.random.PRNGKey(2), cfg)
+    mesh = pm.make_mesh((8,), ("data",))
+    chunk = int(np.lcm(cfg.lookback, cfg.cond_rate)) * 2
+    rng = np.random.default_rng(3)
+    conds = [rng.normal(size=(10 + i, 6)).astype(np.float32)
+             for i in range(4)]
+    prompt = rng.integers(0, 256, (3 * cfg.lookback,), np.int64)
+
+    def run(mesh_arg):
+        pool = StreamPool(params, cfg, n_lanes=8, temperature=None,
+                          mesh=mesh_arg)
+        a = pool.start(cond=conds[0], speaker=1)
+        out = [np.asarray(pool.emit(chunk))]
+        b = pool.start(cond=conds[1], speaker=0, seed_levels=prompt,
+                       seed_cond=conds[2][:4])
+        out.append(np.asarray(pool.emit(chunk)))
+        pool.stop(a)
+        c = pool.start(cond=conds[3], speaker=2)   # reuses a's slot
+        out.append(np.asarray(pool.emit(chunk)))
+        assert c == a
+        return np.concatenate(out, axis=1), (a, b)
+
+    got, lanes_s = run(mesh)
+    want, lanes_u = run(None)
+    assert lanes_s == lanes_u
+    np.testing.assert_array_equal(got, want)
