@@ -187,7 +187,9 @@ def cmd_extract(args):
         if not (isinstance(payload, dict) and "joint" in payload):
             sys.exit(f"{exp_dir} is not a --joint experiment checkpoint")
         cfg = exp.pase or cfg
-        params, bn_state = payload["joint"]["pase"], payload["bn"]
+        from samplernn_pase_tpu.models.pase import absorb_legacy_bias
+        params, bn_state, _ = absorb_legacy_bias(
+            payload["joint"]["pase"], payload["bn"])
         print(f"[extract] using jointly-trained encoder from {exp_dir} "
               f"(step {restored['step']})", file=sys.stderr)
     elif args.pase_ckpt:

@@ -605,6 +605,7 @@ class StreamingGenerator:
         self._buffer = None        # pending levels [n, m] (device array)
         self._buffer_speakers = None   # speakers the buffer was made for
         self._cond_stream = None   # full [n, F, D] stream (set_cond)
+        self._cond_frames = 0      # its unpadded row count
         self.pos = 0               # samples generated so far (cursor
                                    # into the cond stream; >= served)
         self.states = samplernn.initial_state(params, cfg, n_seqs)
@@ -628,15 +629,6 @@ class StreamingGenerator:
         if not (self.cfg.cond_dim and self.cfg.cond_rate):
             raise ValueError(
                 "set_cond on a model without cond_dim/cond_rate")
-        if self._buffer is not None and self._buffer.shape[1]:
-            # mirror emit(cond=...)'s pending-lookahead guard: buffered
-            # samples were generated under the PREVIOUS stream and
-            # would be served as if conditioned on the new one
-            raise ValueError(
-                f"set_cond with {self._buffer.shape[1]} samples of "
-                "pending lookahead audio generated under the previous "
-                "cond stream; reset() (new utterance) or drain the "
-                "buffer first")
         cond = np.asarray(cond, np.float32)
         if cond.ndim == 2:
             cond = np.broadcast_to(cond[None], (self.n, *cond.shape))
@@ -653,12 +645,41 @@ class StreamingGenerator:
         # anyway, so the padded stream is SEMANTICALLY IDENTICAL — and
         # the jitted decode (keyed on the cond shape) compiles one
         # program per bucket instead of one per utterance length
+        if self.pending:
+            # buffered lookahead was generated under the PREVIOUS
+            # stream. That is fine for the progressive-extension
+            # pattern — the new stream extends the old one, so the
+            # buffered samples were conditioned on a prefix of it —
+            # but serving a DIFFERENT utterance's buffer as if it were
+            # conditioned on the new stream is silent corruption:
+            # mirror emit(cond=...)'s guard unless it's an extension.
+            prev = self._cond_stream
+            pf = min(self._cond_frames or 0, cond.shape[1])
+            is_ext = (prev is not None
+                      and cond.shape[1] >= (self._cond_frames or 0)
+                      and np.array_equal(np.asarray(prev[:, :pf]),
+                                         cond[:, :pf]))
+            if not is_ext:
+                raise ValueError(
+                    f"set_cond with {self.pending} samples of pending "
+                    "lookahead audio generated under a DIFFERENT cond "
+                    "stream; reset() for a new utterance (extending "
+                    "the current stream — same prefix, more rows — is "
+                    "allowed)")
+        self._cond_frames = cond.shape[1]   # unpadded length
         f = cond.shape[1]
         bucket = 1 << (f - 1).bit_length()
         if bucket != f:   # repeat-last-row: the one clamp definition
             cond = fit_cond_stream(cond, bucket)
         self._cond_stream = jnp.asarray(cond)
         return self
+
+    @property
+    def pending(self) -> int:
+        """Samples of buffered lookahead audio not yet served
+        (chunks_per_call > 1)."""
+        return (0 if self._buffer is None
+                else int(self._buffer.shape[1]))
 
     def prime(self, levels, cond=None, speakers=None,
               max_context: int = 32_768):

@@ -366,6 +366,12 @@ def export_torch_pase(params, bn_state, path=None):
     import numpy as np
     import torch
 
+    # a legacy (pre-round-4) tree still carries a nonzero conv bias the
+    # bias-free forward ignores but the running mean compensates for —
+    # fold it first so the exported (bias=0, mean) pair is the function
+    # the checkpoint actually computes
+    params, bn_state, _ = absorb_legacy_bias(params, bn_state)
+
     def t(x):
         return torch.from_numpy(np.asarray(x, np.float32))
 

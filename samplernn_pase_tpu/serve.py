@@ -250,8 +250,12 @@ class StreamPool:
             except Exception:
                 # never leak the claimed slot: the lane's state was
                 # already reset above, so returning it to the free list
-                # is safe
+                # is safe — but the eager scatters already ran, so a
+                # mesh pool must still recommit canonical shardings for
+                # the surviving lanes' emits
                 self._free.append(lane)
+                if self.mesh is not None:
+                    self._commit_sharded()
                 raise
             self.states = _scatter_lane(self.states, s1, la)
             self.hist = self.hist.at[la].set(h1[0])

@@ -299,6 +299,7 @@ class JointTrainer(Trainer):
         # what the checkpoint trained
         pase_p, bn, changed = absorb_legacy_bias(p["joint"]["pase"],
                                                  p["bn"])
+        self._migrated_legacy_bias = changed
         self.params = ({"srnn": p["joint"]["srnn"], "pase": pase_p}
                        if changed else p["joint"])
         self.bn_state = bn if changed else p["bn"]
@@ -308,6 +309,26 @@ class JointTrainer(Trainer):
             from samplernn_pase_tpu.parallel import mesh as pm
             self.bn_state = jax.device_put(self.bn_state,
                                            pm.replicated(self.mesh))
+
+    def restore(self, manager) -> bool:
+        ok = super().restore(manager)
+        if ok and getattr(self, "_migrated_legacy_bias", False):
+            # the migrated bias leaf is zero and unread by the forward,
+            # but the restored Adam moments for it are nonzero — left
+            # alone they would keep drifting the leaf away from zero
+            # (adam updates from momentum alone), and the NEXT restore's
+            # absorb_legacy_bias would fold that spurious drift into the
+            # BN running mean. Zero the moments so the leaf stays
+            # exactly zero forever.
+            def rule(path, leaf):
+                keys = [getattr(k, "key", getattr(k, "name", None))
+                        for k in path]
+                if "pase" in keys and keys and keys[-1] == "b":
+                    return jnp.zeros_like(leaf)
+                return leaf
+            self.opt_state = jax.tree_util.tree_map_with_path(
+                rule, self.opt_state)
+        return ok
 
     def generation_cond(self, n_seqs: int, n_frames: int):
         """Embed a fixed corpus utterance (held-out when available)

@@ -279,3 +279,36 @@ def test_set_cond_rejects_pending_lookahead():
         sg.set_cond(rng.normal(size=(16, 6)).astype(np.float32))
     sg.reset()
     sg.set_cond(rng.normal(size=(16, 6)).astype(np.float32))  # ok now
+
+
+def test_set_cond_allows_progressive_extension():
+    """Extending the SAME utterance's cond stream mid-decode (same
+    prefix, more rows) is allowed even with pending lookahead — the
+    buffered samples were conditioned on a prefix of the new stream —
+    and the extended stream then steers later chunks exactly like
+    attaching the full stream up front."""
+    cfg = SampleRNNConfig(frame_sizes=(4, 2), dim=16, embed_dim=8,
+                          cond_dim=6, cond_rate=4,
+                          compute_dtype="float32")
+    params = samplernn.init_params(jax.random.PRNGKey(1), cfg)
+    rng = np.random.default_rng(1)
+    full = rng.normal(size=(24, 6)).astype(np.float32)
+    chunk = cfg.lookback
+
+    sg = gen.StreamingGenerator(params, cfg, 1, temperature=None,
+                                chunks_per_call=2)
+    sg.set_cond(full[:8])
+    got = [np.asarray(sg.emit(chunk))]
+    assert sg.pending > 0
+    sg.set_cond(full[:16])            # extension: allowed
+    got.append(np.asarray(sg.emit(chunk)))
+    sg.set_cond(full)                 # extend again
+    got += [np.asarray(sg.emit(chunk)) for _ in range(4)]
+    got = np.concatenate(got, axis=1)
+
+    ref = gen.StreamingGenerator(params, cfg, 1, temperature=None,
+                                 chunks_per_call=2)
+    ref.set_cond(full)
+    want = np.concatenate(
+        [np.asarray(ref.emit(chunk)) for _ in range(6)], axis=1)
+    np.testing.assert_array_equal(got, want)
