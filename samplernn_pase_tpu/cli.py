@@ -612,11 +612,24 @@ def cmd_evaluate(args):
     vals = np.asarray([float(v) for v in nlls])
     mean = float(np.sum(vals * w) / max(np.sum(w), 1.0)) if n_batches \
         else 0.0
+    # coverage: scored samples / the split's real samples. Lanes stop
+    # at the shortest lane's chunk count, so length-imbalanced splits
+    # at full batch can leave tail chunks unscored — surface it rather
+    # than passing a partial NLL off as the split's (small splits run
+    # one-lane and always hit 1.0)
+    total_real = sum(len(corpus.utterances[i]) for i in split_idx)
+    coverage = float(np.sum(w)) / max(total_real, 1)
+    if coverage < 0.999:
+        print(f"[warn] evaluate scored {coverage:.1%} of the split's "
+              "samples (lanes stop at the shortest lane); re-run with "
+              "a smaller --batch_size for exact coverage",
+              file=sys.stderr)
     out = {
         "split": args.split,
         "nll_bits": round(mean, 6),
         "batches": n_batches,
         "samples": int(np.sum(w)),
+        "coverage": round(coverage, 4),
         "held_out": held_out,   # False = split was empty, train fallback
         "utterances": len(split_idx),
         "batch_size": batch_size,

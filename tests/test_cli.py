@@ -506,4 +506,5 @@ def test_cli_evaluate_small_split_scores_every_sample(tmp_path):
     total = sum(len(corpus.utterances[i]) for i in split)
     assert rep["batch_size"] == 1
     assert rep["samples"] == total, (rep["samples"], total)
+    assert rep["coverage"] == 1.0
     assert np.isfinite(rep["nll_bits"]) and rep["nll_bits"] > 0
