@@ -139,6 +139,13 @@ def measure_joint_step(b=32, t=1280, n_rep=8):
 def main():
     from samplernn_pase_tpu.config import SampleRNNConfig
 
+    # Subprocess probe with timeout: a dead tunnel relay makes backend
+    # init HANG (0-CPU connect-retry), so an in-process backend check
+    # alone cannot guard the outage case (see utils/tpu_guard.py).
+    from samplernn_pase_tpu.utils.tpu_guard import tpu_available, skip_marker
+    if not tpu_available():
+        print(skip_marker())
+        return 0
     if jax.default_backend() not in ("tpu", "axon"):
         print(json.dumps({"skipped": True,
                           "reason": f"no TPU ({jax.default_backend()})"}))
