@@ -537,12 +537,9 @@ def cmd_evaluate(args):
                   "test": corpus.test_idx}[args.split]
                  or corpus.train_idx)
     # splits smaller than batch_size would recycle utterances into lanes
-    # (dataset.batcher) and double-count them. Running at the split's
-    # size is no better: with one utterance per lane the batcher stops
-    # at the SHORTEST lane (min over lane chunk counts), silently
-    # truncating every longer utterance. One lane scores everything —
-    # all utterances concatenate into a single stream (reset flags at
-    # utterance starts), so each is scored exactly once, in full
+    # (dataset.batcher) and double-count them; one lane scores everything
+    # exactly once (reset flags at utterance starts). Larger splits run
+    # at full batch — per-lane tail passes below keep that exact too
     if len(split_idx) < batch_size:
         batch_size = 1
     # what conditioning the eval actually uses — a cond_dim model
@@ -580,9 +577,8 @@ def cmd_evaluate(args):
     # (tail padding excluded — C2/C13 parity); NLLs stay device arrays
     # until the end (one sync, not one per batch)
     nlls, weights = [], []
-    for item in corpus.batcher(args.split, batch_size, seq_len,
-                               exp.model.lookback,
-                               cond_rate=exp.model.cond_rate or None):
+
+    def score(item, hid):
         if isinstance(item, tuple) and len(item) == 2:
             chunk, cond = item     # (Chunk, cond) pair — conditioned corpus
         else:
@@ -600,30 +596,47 @@ def cmd_evaluate(args):
         if chunk.valid is not None and np.any(
                 chunk.valid < chunk.targets.shape[-1]):
             kwargs["valid"] = chunk.valid
-        hiddens, nll = step(params, hiddens, chunk.inputs, chunk.targets,
-                            chunk.resets.astype(np.float32), **kwargs)
+        hid, nll = step(params, hid, chunk.inputs, chunk.targets,
+                        chunk.resets.astype(np.float32), **kwargs)
         nlls.append(nll)
         weights.append(float(np.sum(chunk.valid))
                        if chunk.valid is not None
                        else float(np.size(chunk.targets)))
+        return hid
+
+    batcher = corpus.batcher(args.split, batch_size, seq_len,
+                             exp.model.lookback,
+                             cond_rate=exp.model.cond_rate or None)
+    for item in batcher:
+        hiddens = score(item, hiddens)
+    # exact coverage at ANY batch size: the aligned epoch stops at the
+    # shortest lane, so longer lanes may hold unconsumed tail chunks.
+    # Score each lane's tail with a 1-wide pass that CONTINUES from that
+    # lane's carried hidden state — bit-exact state carry, so full-batch
+    # evaluate equals the 1-lane exact NLL (SURVEY.md §2 C13: the
+    # reference scores every sample of a split)
+    if batch_size > 1:
+        for b in range(batch_size):
+            tail = batcher.lane_tail(b)
+            first = next(tail, None)
+            if first is None:
+                continue
+            h1 = samplernn.slice_state_lane(hiddens, b)
+            h1 = score(first, h1)
+            for item in tail:
+                h1 = score(item, h1)
     mgr.close()
     n_batches = len(nlls)
     w = np.asarray(weights)
     vals = np.asarray([float(v) for v in nlls])
     mean = float(np.sum(vals * w) / max(np.sum(w), 1.0)) if n_batches \
         else 0.0
-    # coverage: scored samples / the split's real samples. Lanes stop
-    # at the shortest lane's chunk count, so length-imbalanced splits
-    # at full batch can leave tail chunks unscored — surface it rather
-    # than passing a partial NLL off as the split's (small splits run
-    # one-lane and always hit 1.0)
+    # coverage: scored samples / the split's real samples. Exactly 1.0
+    # by construction — the aligned pass plus the per-lane tail passes
+    # score every real sample once (padding masked, nothing recycled);
+    # reported so the exactness contract is visible in the JSON
     total_real = sum(len(corpus.utterances[i]) for i in split_idx)
     coverage = float(np.sum(w)) / max(total_real, 1)
-    if coverage < 0.999:
-        print(f"[warn] evaluate scored {coverage:.1%} of the split's "
-              "samples (lanes stop at the shortest lane); re-run with "
-              "a smaller --batch_size for exact coverage",
-              file=sys.stderr)
     out = {
         "split": args.split,
         "nll_bits": round(mean, 6),

@@ -68,6 +68,18 @@ def initial_state(params: Params, cfg: SampleRNNConfig, batch: int) -> State:
         for k in range(cfg.n_tiers))
 
 
+def slice_state_lane(state: State, lane: int) -> State:
+    """Lane ``lane`` of a batched state, as a batch-1 state.
+
+    The batch dimension is axis -2 in every tier state layout
+    ([n_rnn, B, dim] for GRU, [n_rnn, 2, B, dim] for LSTM — see
+    frame_rnn.tier_initial_state), so slicing ...[-2] is layout-safe.
+    Used by evaluate's per-lane tail passes (exact coverage at any
+    batch size) — the sliced lane carries on bit-exactly at width 1.
+    """
+    return jax.tree.map(lambda h: h[..., lane:lane + 1, :], state)
+
+
 def reset_state(params: Params, cfg: SampleRNNConfig, state: State,
                 resets) -> State:
     """Zero (to the learned h0) the state of lanes whose reset flag is set.

@@ -212,6 +212,29 @@ class StreamBatcher:
             return 1.0
         return len(self) * self.batch_size / self.total_chunks
 
+    def lane_tail(self, lane: int) -> Iterator:
+        """One lane's chunks BEYOND the aligned-epoch horizon, as 1-wide
+        batches.  ``__iter__`` stops at the shortest lane (min over lane
+        chunk counts) — the chunks it leaves unconsumed on longer lanes
+        are exactly ``self.lanes[lane][len(self):]``.  Evaluation scores
+        them with a second 1-wide pass per lane, continuing from that
+        lane's carried hidden state, so full-batch NLL covers every real
+        sample of the split (SURVEY.md §2 C2/C13 exactness at any batch
+        size).  Yields the same item shape as ``__iter__`` with B=1.
+        """
+        for k in range(len(self), len(self.lanes[lane])):
+            window, _target, first, cond_k, spk, valid = self.lanes[lane][k]
+            inputs = np.asarray(window, np.int32)[None]
+            chunk = TBPTTChunk(
+                inputs, inputs[:, self.overlap:],
+                np.array([first], bool),
+                np.array([spk], np.int32) if self.has_speakers else None,
+                np.array([valid], np.int32))
+            if self.cond_dim:
+                yield chunk, np.asarray(cond_k, np.float32)[None]
+            else:
+                yield chunk
+
     def _window_addrs(self, n_steps: int) -> np.ndarray | None:
         """Pre-resolve every (step, lane) window's host address for the
         native batched gather — valid only when all windows are
