@@ -68,11 +68,18 @@ def _tier_states_step(params, cfg, hist, states, k, upper_vec, ext_vec):
 
 
 def _ext_cond_vec(cond, pos, cond_rate):
-    """cond [B, Nc, D] -> the conditioning vector active at sample `pos`."""
+    """cond [B, Nc, D] -> the conditioning vector active at sample `pos`.
+
+    ``pos`` is a traced scalar (all lanes at the same offset) or a [B]
+    vector (pool lanes at independent per-lane offsets — each lane
+    gathers its own row)."""
     if cond is None:
         return None
     idx = jnp.clip(pos // cond_rate, 0, cond.shape[1] - 1)
-    return jax.lax.dynamic_index_in_dim(cond, idx, axis=1, keepdims=False)
+    if jnp.ndim(idx) == 0:
+        return jax.lax.dynamic_index_in_dim(cond, idx, axis=1,
+                                            keepdims=False)
+    return jnp.take_along_axis(cond, idx[:, None, None], axis=1)[:, 0]
 
 
 def _decode_tier(params, cfg, k, hist, states, key, pos, cond, upper_vec,
@@ -260,7 +267,7 @@ def _full_kernel_eligible(cfg, cond, use_pallas, temperature, n_seqs):
 
 def _generate_full(params, cfg, n_seqs, length, temperature, key, hist,
                    initial_states, interpret, return_state=False,
-                   cond=None, cond_pos0: int = 0, host_noise=False):
+                   cond=None, cond_pos0=0, host_noise=False):
     """Whole-generation megakernel path, chunked to bound the VMEM
     output buffer (64 top frames = 4096 samples per call at B=128).
 
@@ -315,7 +322,9 @@ def _generate_full(params, cfg, n_seqs, length, temperature, key, hist,
             params, window, kstates,
             np.float32(0.0 if greedy else temperature), key,
             np.int32(c), cond,
-            np.int32(cond_pos0 + done * lookback),
+            (cond_pos0 if _is_lane_vec(cond_pos0)
+             else np.int32(cond_pos0)),
+            np.int32(done * lookback),
             cfg=cfg, step_top=step_top, greedy=greedy,
             interpret=interpret, stream_top=stream_top,
             host_noise=(interpret or host_noise) and not greedy)
@@ -333,11 +342,17 @@ def _generate_full(params, cfg, n_seqs, length, temperature, key, hist,
 import functools
 
 
+def _is_lane_vec(x) -> bool:
+    """True when a position argument is a per-lane [B] vector (pool
+    lanes at independent offsets) rather than a python/np scalar."""
+    return not isinstance(x, (int, np.integer)) and jnp.ndim(x) == 1
+
+
 @functools.partial(jax.jit, static_argnames=(
     "cfg", "step_top", "greedy", "interpret", "stream_top",
     "host_noise"))
 def _megagen_chunk(params, window, kstates, temperature, key, c, cond,
-                   pos0, *, cfg, step_top, greedy, interpret,
+                   pos0, off, *, cfg, step_top, greedy, interpret,
                    stream_top, host_noise):
     """One megakernel chunk as ONE compiled program.
 
@@ -350,14 +365,19 @@ def _megagen_chunk(params, window, kstates, temperature, key, c, cond,
     unjitted scan path once did (see _xla_generate's note).
 
     The conditioning stream arrives WHOLE ([B, F, D], speaker-folded)
-    with ``pos0`` the absolute sample offset of this chunk's first
-    sample; the chunk's rows are gathered with clamp-to-last-row
-    indices — identical semantics to the old eager slice+pad — and only
-    those rows are projected (per-row matmuls: bit-identical to
-    projecting the full stream first). ``c`` is the chunk counter
-    within one generate call; the sampling seed derivation
-    (fold_in(key, c) -> randint) matches the old eager code exactly, so
-    sampled streams are unchanged across the refactor."""
+    with ``pos0 + off`` the absolute sample offset of this chunk's
+    first sample (``pos0`` a scalar, or a [B] vector for pool lanes at
+    independent per-lane offsets; ``off`` the in-call chunk offset);
+    each lane's rows are gathered with clamp-to-last-row indices from
+    its own row origin — identical semantics to the old eager
+    slice+pad — and only those rows are projected (per-row matmuls:
+    bit-identical to projecting the full stream first). The kernel
+    resolves each lane's sub-row alignment from ``cond_phase``
+    (pos0 % cond_rate), so chunk lengths need not align to
+    lcm(lookback, cond_rate). ``c`` is the chunk counter within one
+    generate call; the sampling seed derivation (fold_in(key, c) ->
+    randint) matches the old eager code exactly, so sampled streams
+    are unchanged across the refactor."""
     from samplernn_pase_tpu.ops.pallas.megagen import generate_full_pallas
 
     lookback = cfg.lookback
@@ -379,10 +399,13 @@ def _megagen_chunk(params, window, kstates, temperature, key, c, cond,
     if cond is not None:
         # `need` is alignment-independent (worst case + 1) so chunked
         # streaming keeps one kernel signature regardless of offset
-        r0 = pos0 // cfg.cond_rate
+        pos0v = jnp.broadcast_to(
+            jnp.asarray(pos0, jnp.int32) + off, (n_seqs,))
+        r0 = pos0v // cfg.cond_rate                 # [B] row origins
         need = (step_top * lookback - 1) // cfg.cond_rate + 2
-        idx = jnp.clip(r0 + jnp.arange(need), 0, cond.shape[1] - 1)
-        rows = jnp.take(cond, idx, axis=1)          # [B, need, D]
+        idx = jnp.clip(r0[:, None] + jnp.arange(need), 0,
+                       cond.shape[1] - 1)           # [B, need]
+        rows = jnp.take_along_axis(cond, idx[:, :, None], axis=1)
         dt = jnp.dtype(cfg.compute_dtype)
 
         def proj(tier):
@@ -393,7 +416,7 @@ def _megagen_chunk(params, window, kstates, temperature, key, c, cond,
         cond_kw.update(
             cond_rate=cfg.cond_rate,
             ext_proj=tuple(proj(t) for t in params["tiers"]),
-            cond_offsets=jnp.stack([pos0, r0]).astype(jnp.int32))
+            cond_phase=pos0v % cfg.cond_rate)
     blocks3d, kstates = generate_full_pallas(
         window, kstates, 0.0 if greedy else temperature, seed,
         list(params["tiers"]), params["mlp"],
@@ -441,8 +464,15 @@ def generate_levels(params, cfg: SampleRNNConfig, n_seqs: int, length: int,
                     temperature: float | None = 1.0, key=None, cond=None,
                     initial_states=None, hist=None,
                     use_pallas: bool | str | None = None, speakers=None,
-                    return_state: bool = False, cond_pos0: int = 0):
+                    return_state: bool = False, cond_pos0=0):
     """Generate quantized levels [n_seqs, length] with one fused scan.
+
+    ``cond_pos0``: absolute sample offset into the conditioning stream —
+    a python int (all lanes together; streaming solo decode) or a [B]
+    int32 device vector (pool lanes at independent per-lane offsets;
+    each lane's rows are gathered at its own origin and the kernel
+    resolves its sub-row phase, so chunk lengths need not align to
+    cond_rate).
 
     length is rounded up to a multiple of lookback internally and trimmed.
     temperature=None (or 0) means greedy argmax.  use_pallas: None = auto
@@ -495,7 +525,7 @@ def generate_levels(params, cfg: SampleRNNConfig, n_seqs: int, length: int,
     levels, states_f, hist_f = _xla_generate(
         params, hist, tuple(states0), key, cond,
         np.float32(temperature if temperature is not None else 1.0),
-        np.int32(cond_pos0),
+        (cond_pos0 if _is_lane_vec(cond_pos0) else np.int32(cond_pos0)),
         cfg=cfg, n_steps=n_steps, use_pallas=use_pallas,
         greedy=temperature is None)
     if return_state:

@@ -137,7 +137,7 @@ def _kernel(frame_sizes, n_top, q_levels, deterministic, cond_rate,
     lookback = spans[-1]
 
     if cond_rate:
-        coff_ref = refs[0]
+        cphase_ref = refs[0]
         ext_refs = refs[1:1 + k_tiers]
         refs = refs[1 + k_tiers:]
     if host_noise:
@@ -181,8 +181,23 @@ def _kernel(frame_sizes, n_top, q_levels, deterministic, cond_rate,
         if upper is not None:
             x = x + upper
         if cond_rate:
-            row = (coff_ref[0] + pos) // cond_rate - coff_ref[1]
-            x = x + ext_refs[k][row]
+            # Per-lane conditioning phase: lane b's absolute sample
+            # position is pos0_b + pos with pos0_b = r0_b*R + p_b
+            # (p_b = cphase_ref[b] in [0, R)); its rows were gathered
+            # from r0_b, so the local row is (p_b + pos)//R — which is
+            # pos//R plus at most ONE (p_b < R), i.e. a two-row select.
+            # This is what lets pool lanes at arbitrary per-lane offsets
+            # share one dispatch with chunk lengths that need not align
+            # to lcm(lookback, cond_rate).
+            base = pos // cond_rate
+            bump = (cphase_ref[:] + (pos % cond_rate)) >= cond_rate
+            # clamp the high row: jnp.where evaluates both branches, and
+            # an all-zero-phase caller may supply exactly (n/R) rows —
+            # the bump branch is untaken there but must still be in
+            # bounds (callers with nonzero phases supply
+            # (n-1)//R + 2 rows, which the clamp never touches)
+            hi = jnp.minimum(base + 1, ext_refs[k].shape[0] - 1)
+            x = x + jnp.where(bump, ext_refs[k][hi], ext_refs[k][base])
         return x
 
     gates = 3 if rnn_type == "gru" else 4
@@ -413,7 +428,7 @@ def generate_full_pallas(window, states, temperature, seed, tiers, mlp, *,
                          n_top: int, q_levels: int = 256,
                          deterministic: bool = False,
                          interpret: bool = False, cond_rate: int = 0,
-                         ext_proj=None, cond_offsets=None,
+                         ext_proj=None, cond_phase=None,
                          rnn_type: str = "gru",
                          weights_dtype: str = "bfloat16",
                          stream_top: bool = False, gumbel=None,
@@ -474,7 +489,12 @@ def generate_full_pallas(window, states, temperature, seed, tiers, mlp, *,
 
     cond_args = ()
     if cond_rate:
-        cond_args = (jnp.asarray(cond_offsets, jnp.int32).reshape(2),
+        # cond_phase [B] (or [B,1]) int32: each lane's absolute start
+        # position modulo cond_rate. ext_proj rows must start at each
+        # lane's own row origin (pos0_b // cond_rate) and span
+        # (n_samples-1)//cond_rate + 2 rows when any phase is nonzero
+        # (see the kernel's two-row select in tier_in).
+        cond_args = (jnp.asarray(cond_phase, jnp.int32).reshape(b, 1),
                      *(e.astype(jnp.float32) for e in ext_proj))
     # host-supplied per-bottom-frame Gumbel noise (interpret-mode
     # sampled decode: no on-core PRNG off-TPU); [n_bottom, f1, B, q]
@@ -523,7 +543,7 @@ def generate_full_pallas(window, states, temperature, seed, tiers, mlp, *,
     )
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
-    n_smem = 3 if cond_rate else 2   # seed, temp[, cond offsets]
+    n_smem = 2   # seed, temp (the per-lane cond phase rides in VMEM)
     slot_w = q_levels if fused_embed else e_dim
     # ring-buffered window needs slot-aligned (128-lane) dynamic column
     # offsets; small-slot test configs use the shifting fallback
@@ -540,7 +560,7 @@ def generate_full_pallas(window, states, temperature, seed, tiers, mlp, *,
     if stream_top:
         # the top tier's big matrices stay in HBM and are DMA'd per use
         any_spec = pl.BlockSpec(memory_space=pl.ANY)
-        top0 = (n_smem + (k if cond_rate else 0)   # ext_proj streams
+        top0 = (n_smem + (k + 1 if cond_rate else 0)  # cphase + ext_proj
                 + (1 if host_noise else 0)         # gumbel buffer
                 + 1 + len(flat_states)             # window + states
                 + (k - 1) * trc)                   # lower tiers

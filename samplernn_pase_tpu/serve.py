@@ -16,19 +16,18 @@ across all lanes (b=128 batch decode measures ~750x realtime vs
 computes (garbage that nobody reads); that is inherent to static-shape
 batching and is exactly the trade continuous-batching servers make.
 
-Per-lane conditioning without a kernel change: every lane's stream
-lives DEVICE-resident (uploaded once at ``start()``, padded to the
-pool's frame cap by repeating its last row — exactly the
-clamp-past-end semantics), and each emit gathers lane ``l``'s next
-``chunk // cond_rate`` rows on device at its own cursor; the batch
-then decodes with ``cond_pos0 = 0``. Row boundaries land identically
-for every lane provided each lane's local position stays a multiple of
-``cond_rate``, which the pool guarantees by requiring conditioned
-chunks to be multiples of ``lcm(lookback, cond_rate)`` (e.g. 1280
-samples = 80 ms at 16 kHz for the flagship's lookback 256 x cond_rate
-160). The steady-state emit path touches the host only to dispatch —
-on a remote-attached host, serving latency is round-trip-bound, not
-compute-bound (docs/PERF.md pool table).
+Per-lane conditioning: every lane's stream lives DEVICE-resident
+(uploaded once at ``start()``, padded to the pool's frame cap by
+repeating its last row — exactly the clamp-past-end semantics, with
+the speaker embedding folded in once for speaker models), and each
+emit hands the whole buffer plus the per-lane sample cursors to the
+decode; the kernel resolves each lane's own row alignment from its
+cursor phase (``generate.py:_megagen_chunk`` / ``megagen.py`` two-row
+select), so chunks only need to be multiples of ``lookback`` — a
+conditioned flagship pool serves 1024-sample (64 ms) chunks, the same
+floor as unconditioned lanes. The steady-state emit path touches the
+host only to dispatch — on a remote-attached host, serving latency is
+round-trip-bound, not compute-bound (docs/PERF.md pool table).
 
 JAX's functional arrays make the lifecycle race-free for enqueue-ahead
 serving loops: ``start()``/``stop()`` build NEW state arrays, so chunks
@@ -36,8 +35,6 @@ already enqueued keep the state they were dispatched with — a join can
 never corrupt audio another lane has in flight.
 """
 from __future__ import annotations
-
-import math
 
 import jax
 import jax.numpy as jnp
@@ -103,18 +100,21 @@ class StreamPool:
         self.active: set[int] = set()
         # DEVICE-resident per-lane conditioning: each lane's stream is
         # uploaded ONCE at start() (padded to max_cond_frames by
-        # repeating its last row — identical to clamp-past-end) and the
-        # chunk's rows are gathered on device per emit. Serving latency
-        # through a remote-attached host is round-trip-bound, so the
-        # steady-state emit must touch the host only to dispatch —
-        # re-uploading assembled rows each chunk measured ~35% slower
-        # at n_lanes=128 (docs/PERF.md pool table). HBM cost:
-        # n_lanes x max_cond_frames x cond_dim x 4 bytes.
+        # repeating its last row — identical to clamp-past-end; speaker
+        # embedding folded in, matching solo's speaker_cond add) and
+        # every emit passes the whole buffer with the per-lane SAMPLE
+        # cursors — the decode gathers each lane's rows at its own
+        # offset on device. Serving latency through a remote-attached
+        # host is round-trip-bound, so the steady-state emit must touch
+        # the host only to dispatch — re-uploading assembled rows each
+        # chunk measured ~35% slower at n_lanes=128 (docs/PERF.md pool
+        # table). HBM cost: n_lanes x max_cond_frames x cond_dim x 4 B.
         self._f_cap = int(max_cond_frames)
         self._cond_buf = (jnp.zeros((self.n, self._f_cap, cfg.cond_dim),
                                     jnp.float32)
                           if cfg.cond_dim else None)
-        self._cursors = jnp.zeros((self.n,), jnp.int32)
+        self._cond_len = [0] * self.n       # unpadded rows per lane
+        self._cursors = jnp.zeros((self.n,), jnp.int32)   # in SAMPLES
         # host mirror (prime() needs the scalar) + device-resident
         # array so speaker-model emits upload nothing per chunk
         self._speakers = (np.zeros((self.n,), np.int32)
@@ -226,10 +226,16 @@ class StreamPool:
         la = jnp.int32(lane)
         if self.cfg.cond_dim:
             # pad to the frame cap by repeating the last row — the one
-            # clamp-extend definition (gen.fit_cond_stream)
-            cond = gen.fit_cond_stream(cond, self._f_cap)
-            self._cond_buf = self._cond_buf.at[la].set(
-                jnp.asarray(cond))
+            # clamp-extend definition (gen.fit_cond_stream) — and fold
+            # the speaker embedding in ONCE (solo folds it per emit in
+            # generate_levels; add-then-gather == gather-then-add, so
+            # the lane stays bit-identical to its solo generator)
+            self._cond_len[lane] = cond.shape[0]
+            cond_dev = jnp.asarray(gen.fit_cond_stream(cond, self._f_cap))
+            if self.cfg.n_speakers:
+                cond_dev = cond_dev + jnp.take(
+                    self.params["speaker"], jnp.int32(speaker), axis=0)
+            self._cond_buf = self._cond_buf.at[la].set(cond_dev)
             self._cursors = self._cursors.at[la].set(0)
         if self.cfg.n_speakers:
             self._speakers[lane] = int(speaker)
@@ -273,19 +279,6 @@ class StreamPool:
         self._free.append(lane)
 
     # -- decode ----------------------------------------------------------
-    def _chunk_cond(self, n_samples: int) -> jnp.ndarray:
-        """Gather this call's [n_lanes, n/cond_rate, D] cond rows ON
-        DEVICE from each lane's stream at its own cursor (rows past a
-        stream's end repeat its last row via the start()-time padding).
-        No host->device transfer on the emit path."""
-        rows = n_samples // self.cfg.cond_rate
-        idx = jnp.clip(self._cursors[:, None] + jnp.arange(rows),
-                       0, self._f_cap - 1)             # [B, rows]
-        out = jnp.take_along_axis(self._cond_buf, idx[:, :, None],
-                                  axis=1)
-        self._cursors = self._cursors + rows
-        return out
-
     def emit(self, n_samples: int):
         """Advance every lane n_samples and return [n_lanes, n_samples]
         quantized levels as an ASYNC device array (enqueue-ahead loops
@@ -293,21 +286,25 @@ class StreamPool:
         if n_samples % self.cfg.lookback:
             raise ValueError(f"n_samples must be a multiple of lookback "
                              f"({self.cfg.lookback})")
-        cond = None
+        cond, pos0, spk = None, 0, None
         if self.cfg.cond_dim:
-            align = math.lcm(self.cfg.lookback, self.cfg.cond_rate)
-            if n_samples % align:
-                raise ValueError(
-                    "conditioned pools need per-lane cond phases to stay "
-                    "row-aligned: n_samples must be a multiple of "
-                    f"lcm(lookback, cond_rate) = {align}, got {n_samples}")
-            cond = self._chunk_cond(n_samples)
+            # the WHOLE device-resident buffer + per-lane sample
+            # cursors: the decode gathers each lane's rows at its own
+            # offset and resolves sub-row phase in-kernel, so any
+            # lookback-multiple chunk length works (speaker embedding
+            # already folded into the buffer at start())
+            cond, pos0 = self._cond_buf, self._cursors
+            self._cursors = self._cursors + n_samples
+        elif self.cfg.n_speakers:
+            # speakered-unconditioned model: the spk stream is built
+            # per chunk (time-invariant rows, so alignment is moot)
+            spk = self._speakers_dev
         self.key, sub = jax.random.split(self.key)
-        spk = self._speakers_dev
         levels, self.states, self.hist = gen.generate_levels(
             self.params, self.cfg, self.n, n_samples, self.temperature,
             sub, cond=cond, initial_states=self.states, hist=self.hist,
-            use_pallas=self.use_pallas, speakers=spk, return_state=True)
+            use_pallas=self.use_pallas, speakers=spk, return_state=True,
+            cond_pos0=pos0)
         return levels
 
     def emit_waveform(self, n_samples: int):

@@ -287,6 +287,34 @@ def test_conditioned_megakernel_multi_chunk():
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
 
 
+def test_megakernel_per_lane_cond_phase():
+    """Round-5: per-lane cond offsets (pool lanes at independent stream
+    positions, chunk lengths not aligned to cond_rate). The megakernel
+    resolves each lane's sub-row phase with a two-row select; it must
+    match (a) the XLA scan on the same per-lane offsets and (b) the
+    scalar-offset path lane by lane."""
+    cfg = SampleRNNConfig(frame_sizes=(4, 2), dim=16, embed_dim=8,
+                          cond_dim=6, cond_rate=12,
+                          compute_dtype="float32")
+    params = samplernn.init_params(jax.random.PRNGKey(21), cfg)
+    b, n_top = 3, 6
+    t = cfg.lookback * n_top                 # 48 samples; 48 % 12 == 0
+    cond = jax.random.normal(jax.random.PRNGKey(22), (b, 10, 6))
+    offs = [0, 8, 29]                        # phases 0, 8, 5
+    pos0 = jnp.asarray(offs, jnp.int32)
+    ref = gen.generate_levels(params, cfg, b, t, None, cond=cond,
+                              use_pallas=False, cond_pos0=pos0)
+    got = gen.generate_levels(params, cfg, b, t, None, cond=cond,
+                              use_pallas="interpret", cond_pos0=pos0)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+    for i, p in enumerate(offs):             # vector path == scalar path
+        one = gen.generate_levels(params, cfg, 1, t, None,
+                                  cond=cond[i:i + 1],
+                                  use_pallas="interpret", cond_pos0=p)
+        np.testing.assert_array_equal(np.asarray(got)[i],
+                                      np.asarray(one)[0])
+
+
 def test_megakernel_stream_top_matches_resident():
     """stream_top=True (top-tier weights DMA'd from HBM through the
     scratch slot) must be BIT-identical to the resident form — same
@@ -362,7 +390,7 @@ def test_megakernel_stream_top_conditioned_matches_resident():
             list(params["tiers"]), params["mlp"], n_top=n_top,
             q_levels=256, deterministic=True, interpret=True,
             cond_rate=cfg.cond_rate, ext_proj=ext,
-            cond_offsets=jnp.asarray([0, 0], jnp.int32),
+            cond_phase=jnp.zeros((b,), jnp.int32),
             rnn_type="lstm", weights_dtype="float32",
             stream_top=stream)
         outs[stream] = (np.asarray(s), [np.asarray(f) for f in fin])

