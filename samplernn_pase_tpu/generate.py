@@ -82,6 +82,17 @@ def _ext_cond_vec(cond, pos, cond_rate):
     return jnp.take_along_axis(cond, idx[:, None, None], axis=1)[:, 0]
 
 
+def _frame_noise(out, pos, f1, q_levels):
+    """Per-lane Gumbel block [f1, B, q] for the bottom frame starting
+    at (cond-)position ``pos`` — or None on the default shared-key path
+    and for greedy decode. ``noise_shift`` maps the cond position back
+    to each lane's local sample position (noise_pos0 - cond_pos0)."""
+    if out["temperature"] is None or out["lane_keys"] is None:
+        return None
+    return _lane_gumbel_block(out["lane_keys"],
+                              pos + out["noise_shift"], f1, q_levels)
+
+
 def _decode_tier(params, cfg, k, hist, states, key, pos, cond, upper_vec,
                  out):
     """Recursively decode one tier-k frame's worth of samples.
@@ -114,7 +125,8 @@ def _decode_tier(params, cfg, k, hist, states, key, pos, cond, upper_vec,
             hist[:, -f1:], up, states[0][0], temp, sub,
             params["tiers"][0], params["mlp"], q_levels=cfg.q_levels,
             rnn_type=cfg.rnn_type, weights_dtype=cfg.compute_dtype,
-            interpret=out["pallas"] == "interpret")
+            interpret=out["pallas"] == "interpret",
+            noise=_frame_noise(out, pos, f1, cfg.q_levels))
         # h_new [n_state, B, H] -> tier state [n_rnn=1, (2,)? B, H]
         new0 = h_new if cfg.rnn_type == "gru" else h_new[None]
         states = (new0,) + states[1:]
@@ -137,7 +149,8 @@ def _decode_tier(params, cfg, k, hist, states, key, pos, cond, upper_vec,
             samples = fused_frame_decode(
                 hist[:, -f1:], cond_rows, temp, sub, params["mlp"],
                 q_levels=cfg.q_levels, weights_dtype=cfg.compute_dtype,
-                interpret=out["pallas"] == "interpret")
+                interpret=out["pallas"] == "interpret",
+                noise=_frame_noise(out, pos, f1, cfg.q_levels))
             out["blocks"].append(samples)
             hist = jnp.concatenate([hist[:, f1:], samples], axis=1)
             return hist, states, key
@@ -145,6 +158,7 @@ def _decode_tier(params, cfg, k, hist, states, key, pos, cond, upper_vec,
         new_samples = []
         keys = jax.random.split(key, f1 + 1)
         key = keys[0]
+        lane_g = _frame_noise(out, pos, f1, cfg.q_levels)
         for i in range(f1):
             window = hist[:, -f1:]
             logits = sample_mlp.mlp_step(
@@ -152,6 +166,12 @@ def _decode_tier(params, cfg, k, hist, states, key, pos, cond, upper_vec,
                 jnp.dtype(cfg.compute_dtype))
             if out["temperature"] is None:
                 sample = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            elif lane_g is not None:
+                # per-lane noise: same argmax(logits + T*g) form as the
+                # kernels, so every path consumes identical noise values
+                sample = jnp.argmax(
+                    logits + out["temperature"] * lane_g[i],
+                    axis=-1).astype(jnp.int32)
             else:
                 sample = jax.random.categorical(
                     keys[i + 1], logits / out["temperature"]).astype(
@@ -267,7 +287,8 @@ def _full_kernel_eligible(cfg, cond, use_pallas, temperature, n_seqs):
 
 def _generate_full(params, cfg, n_seqs, length, temperature, key, hist,
                    initial_states, interpret, return_state=False,
-                   cond=None, cond_pos0=0, host_noise=False):
+                   cond=None, cond_pos0=0, host_noise=False,
+                   lane_keys=None, noise_pos0=0):
     """Whole-generation megakernel path, chunked to bound the VMEM
     output buffer (64 top frames = 4096 samples per call at B=128).
 
@@ -325,9 +346,13 @@ def _generate_full(params, cfg, n_seqs, length, temperature, key, hist,
             (cond_pos0 if _is_lane_vec(cond_pos0)
              else np.int32(cond_pos0)),
             np.int32(done * lookback),
+            lane_keys,
+            (noise_pos0 if _is_lane_vec(noise_pos0)
+             else np.int32(noise_pos0)),
             cfg=cfg, step_top=step_top, greedy=greedy,
             interpret=interpret, stream_top=stream_top,
-            host_noise=(interpret or host_noise) and not greedy)
+            host_noise=(interpret or host_noise
+                        or lane_keys is not None) and not greedy)
         blocks.append(samples)
         done += step_top
         c += 1
@@ -342,6 +367,44 @@ def _generate_full(params, cfg, n_seqs, length, temperature, key, hist,
 import functools
 
 
+def _lane_gumbel_block(lane_keys, pos0, n, q_levels):
+    """Per-lane Gumbel noise for ``n`` consecutive samples: [n, B, q]
+    with block[i, b] = gumbel(fold_in(lane_keys[b], pos0_b + i), (q,)).
+
+    The ONE canonical per-stream noise derivation (generate_levels
+    ``lane_keys``): a lane's noise is a pure function of its own key
+    and its own local sample position — nothing else — so a pool
+    lane's sampled stream is invariant to pool membership history and
+    bit-equal to a solo generator's given the same stream key. Every
+    decode path (XLA scan, per-frame kernels, megakernel host-noise
+    buffer) consumes blocks from this function, and all sample with
+    argmax(logits + temperature * g)."""
+    b = lane_keys.shape[0]
+    pos = (jnp.broadcast_to(jnp.asarray(pos0, jnp.int32), (b,))[None, :]
+           + jnp.arange(n, dtype=jnp.int32)[:, None])          # [n, B]
+
+    def one(k, p):
+        return jax.random.gumbel(jax.random.fold_in(k, p), (q_levels,),
+                                 jnp.float32)
+
+    return jax.vmap(jax.vmap(one, (0, 0)), (None, 0))(lane_keys, pos)
+
+
+def _norm_lane_keys(lane_keys, n_seqs, temperature):
+    """Validate/normalize generate_levels' lane_keys to [B, 2] uint32
+    raw key data (greedy decode ignores them entirely)."""
+    if lane_keys is None or temperature is None:
+        return None
+    lane_keys = jnp.asarray(lane_keys, jnp.uint32)
+    if lane_keys.ndim == 1 and n_seqs == 1:
+        lane_keys = lane_keys[None]
+    if lane_keys.shape != (n_seqs, 2):
+        raise ValueError(
+            f"lane_keys must be [{n_seqs}, 2] uint32 raw PRNG keys "
+            f"(one per lane), got {lane_keys.shape}")
+    return lane_keys
+
+
 def _is_lane_vec(x) -> bool:
     """True when a position argument is a per-lane [B] vector (pool
     lanes at independent offsets) rather than a python/np scalar."""
@@ -352,8 +415,8 @@ def _is_lane_vec(x) -> bool:
     "cfg", "step_top", "greedy", "interpret", "stream_top",
     "host_noise"))
 def _megagen_chunk(params, window, kstates, temperature, key, c, cond,
-                   pos0, off, *, cfg, step_top, greedy, interpret,
-                   stream_top, host_noise):
+                   pos0, off, lane_keys, noise_pos0, *, cfg, step_top,
+                   greedy, interpret, stream_top, host_noise):
     """One megakernel chunk as ONE compiled program.
 
     Streaming serving calls this once per emitted chunk, so everything
@@ -387,15 +450,25 @@ def _megagen_chunk(params, window, kstates, temperature, key, c, cond,
                               dtype=jnp.int32)
     cond_kw = {}
     if host_noise:
-        # host-generated per-bottom-frame Gumbel noise: required off
-        # TPU (interpret mode has no on-core PRNG), and usable ON the
-        # chip too (an ordinary VMEM ref) — the hardware fixed-noise
-        # parity check feeds the same buffer to both paths
+        # caller-generated per-bottom-frame Gumbel noise (HBM-resident,
+        # DMA'd per frame in the kernel): required off TPU (interpret
+        # mode has no on-core PRNG), used by the hardware fixed-noise
+        # parity check, and — with lane_keys — the per-lane noise
+        # streams serving pools need (each lane's noise a pure function
+        # of its own key and local position, so a lane's sampled stream
+        # is invariant to pool membership and bit-equal to solo)
         f1 = cfg.frame_sizes[0]
-        cond_kw["gumbel"] = jax.random.gumbel(
-            jax.random.fold_in(sub, 1),
-            (step_top * (lookback // f1), f1, n_seqs, cfg.q_levels),
-            jnp.float32)
+        if lane_keys is not None:
+            g = _lane_gumbel_block(
+                lane_keys, jnp.asarray(noise_pos0, jnp.int32) + off,
+                step_top * lookback, cfg.q_levels)
+            cond_kw["gumbel"] = g.reshape(
+                step_top * (lookback // f1), f1, n_seqs, cfg.q_levels)
+        else:
+            cond_kw["gumbel"] = jax.random.gumbel(
+                jax.random.fold_in(sub, 1),
+                (step_top * (lookback // f1), f1, n_seqs, cfg.q_levels),
+                jnp.float32)
     if cond is not None:
         # `need` is alignment-independent (worst case + 1) so chunked
         # streaming keeps one kernel signature regardless of offset
@@ -433,7 +506,8 @@ def _megagen_chunk(params, window, kstates, temperature, key, c, cond,
 @functools.partial(jax.jit, static_argnames=("cfg", "n_steps",
                                              "use_pallas", "greedy"))
 def _xla_generate(params, hist, states0, key, cond, temperature,
-                  cond_pos0, *, cfg, n_steps, use_pallas, greedy):
+                  cond_pos0, lane_keys, noise_shift, *, cfg, n_steps,
+                  use_pallas, greedy):
     """The scan-based decode as ONE jitted program (megakernel-
     ineligible configs and the per-frame kernel path). ``cond_pos0`` is
     the absolute sample offset into the conditioning stream (a traced
@@ -446,7 +520,8 @@ def _xla_generate(params, hist, states0, key, cond, temperature,
     def body(carry, step_idx):
         hist, states, key = carry
         out = {"blocks": [], "temperature": None if greedy else temperature,
-               "pallas": use_pallas}
+               "pallas": use_pallas, "lane_keys": lane_keys,
+               "noise_shift": noise_shift}
         pos = cond_pos0 + step_idx * lookback
         hist, states, key = _decode_tier(
             params, cfg, top, hist, states, key, pos, cond, None, out)
@@ -464,7 +539,8 @@ def generate_levels(params, cfg: SampleRNNConfig, n_seqs: int, length: int,
                     temperature: float | None = 1.0, key=None, cond=None,
                     initial_states=None, hist=None,
                     use_pallas: bool | str | None = None, speakers=None,
-                    return_state: bool = False, cond_pos0=0):
+                    return_state: bool = False, cond_pos0=0,
+                    lane_keys=None, noise_pos0=0):
     """Generate quantized levels [n_seqs, length] with one fused scan.
 
     ``cond_pos0``: absolute sample offset into the conditioning stream —
@@ -473,6 +549,18 @@ def generate_levels(params, cfg: SampleRNNConfig, n_seqs: int, length: int,
     each lane's rows are gathered at its own origin and the kernel
     resolves its sub-row phase, so chunk lengths need not align to
     cond_rate).
+
+    ``lane_keys`` [B, 2] uint32 (raw PRNG keys, one per lane) switches
+    sampled decode to PER-LANE noise streams: lane b's noise at its
+    local sample position p is gumbel(fold_in(lane_keys[b], p)), with
+    ``noise_pos0`` (int or [B] int32) the local position of this call's
+    first sample. Every decode path consumes the same derivation and
+    samples argmax(logits + temperature * g), so a lane's sampled
+    stream is a pure function of (its key, its positions) — invariant
+    to batch membership, bit-equal between a pool lane and a solo
+    generator on the same path. Default (None): one shared key per
+    call (the megakernel's on-core PRNG / jax.random.categorical),
+    cheaper and unchanged from previous releases.
 
     length is rounded up to a multiple of lookback internally and trimmed.
     temperature=None (or 0) means greedy argmax.  use_pallas: None = auto
@@ -502,13 +590,15 @@ def generate_levels(params, cfg: SampleRNNConfig, n_seqs: int, length: int,
         use_pallas = jax.default_backend() == "tpu"
     if not temperature:
         temperature = None
+    lane_keys = _norm_lane_keys(lane_keys, n_seqs, temperature)
     if use_pallas and _full_kernel_eligible(cfg, cond, use_pallas,
                                             temperature, n_seqs):
         return _generate_full(params, cfg, n_seqs, length, temperature,
                               key, hist, initial_states,
                               interpret=use_pallas == "interpret",
                               return_state=return_state, cond=cond,
-                              cond_pos0=cond_pos0)
+                              cond_pos0=cond_pos0, lane_keys=lane_keys,
+                              noise_pos0=noise_pos0)
     lookback = cfg.lookback
     n_steps = -(-length // lookback)
 
@@ -522,10 +612,21 @@ def generate_levels(params, cfg: SampleRNNConfig, n_seqs: int, length: int,
     # dispatch eagerly — per-op host->device round-trips dominate on a
     # tunnel-attached host (measured: 1.15 s vs ~45 ms per 64 ms chunk
     # for a small non-megakernel model through StreamingGenerator)
+    # noise positions are LOCAL to the stream; _decode_tier's pos
+    # includes cond_pos0, so the shift maps one to the other (host
+    # arithmetic when both are scalars — no extra device transfer on
+    # the solo streaming path)
+    if lane_keys is None:
+        noise_shift = np.int32(0)
+    elif not _is_lane_vec(noise_pos0) and not _is_lane_vec(cond_pos0):
+        noise_shift = np.int32(int(noise_pos0) - int(cond_pos0))
+    else:
+        noise_shift = jnp.asarray(noise_pos0) - jnp.asarray(cond_pos0)
     levels, states_f, hist_f = _xla_generate(
         params, hist, tuple(states0), key, cond,
         np.float32(temperature if temperature is not None else 1.0),
         (cond_pos0 if _is_lane_vec(cond_pos0) else np.int32(cond_pos0)),
+        lane_keys, noise_shift,
         cfg=cfg, n_steps=n_steps, use_pallas=use_pallas,
         greedy=temperature is None)
     if return_state:
@@ -625,11 +726,17 @@ class StreamingGenerator:
     def __init__(self, params, cfg: SampleRNNConfig, n_seqs: int,
                  temperature: float | None = 1.0, key=None,
                  use_pallas: bool | str | None = None,
-                 chunks_per_call: int = 1):
+                 chunks_per_call: int = 1, stream_keys=None):
         self.params, self.cfg, self.n = params, cfg, n_seqs
         self.temperature = temperature
         self._key0 = key if key is not None else jax.random.PRNGKey(0)
         self.key = self._key0
+        # stream_keys [n, 2] (or [2] at n=1): per-lane noise streams —
+        # each lane's sampled output becomes a pure function of its key
+        # and its position (generate_levels lane_keys), bit-equal to a
+        # StreamPool lane started with the same stream key
+        self._stream_keys = _norm_lane_keys(stream_keys, n_seqs,
+                                            temperature)
         self.use_pallas = use_pallas
         self.chunks_per_call = max(1, int(chunks_per_call))
         self._buffer = None        # pending levels [n, m] (device array)
@@ -732,7 +839,8 @@ class StreamingGenerator:
             self.params, self.cfg, self.n, n_samples, self.temperature,
             sub, cond=cond, initial_states=self.states, hist=self.hist,
             use_pallas=self.use_pallas, speakers=speakers,
-            return_state=True, cond_pos0=pos0)
+            return_state=True, cond_pos0=pos0,
+            lane_keys=self._stream_keys, noise_pos0=self.pos)
         self.states, self.hist = states, hist
         self.pos += n_samples
         return levels

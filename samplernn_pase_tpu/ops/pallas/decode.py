@@ -154,7 +154,7 @@ def fused_tier_frame_decode(window, upper_cond, h_prev, temperature, key,
                             tier_params, mlp_params, *,
                             q_levels: int = 256, rnn_type: str = "gru",
                             weights_dtype: str = "bfloat16",
-                            interpret: bool = False):
+                            interpret: bool = False, noise=None):
     """One FULL bottom-tier frame in a single kernel: the tier-0 GRU/LSTM
     step, the learned x f1 upsampling (computed lazily, one cond row per
     decode step, straight from VMEM), and the f1 autoregressive MLP
@@ -175,7 +175,8 @@ def fused_tier_frame_decode(window, upper_cond, h_prev, temperature, key,
     n_state = 1 if rnn_type == "gru" else 2
     wt = jnp.dtype(weights_dtype)
     rnn = tier_params["rnn"][0]
-    noise = jax.random.gumbel(key, (f1, b, q_levels), jnp.float32)
+    if noise is None:
+        noise = jax.random.gumbel(key, (f1, b, q_levels), jnp.float32)
     args = (
         jnp.asarray(temperature, jnp.float32).reshape(1),
         window.astype(jnp.int32),
@@ -217,7 +218,7 @@ def fused_tier_frame_decode(window, upper_cond, h_prev, temperature, key,
 def fused_frame_decode(window, cond, temperature, key, mlp_params, *,
                        q_levels: int = 256,
                        weights_dtype: str = "bfloat16",
-                       interpret: bool = False):
+                       interpret: bool = False, noise=None):
     """Decode one bottom frame (f1 autoregressive samples) for all lanes.
 
     window  [B, f1] int32   — the f1 samples preceding this frame
@@ -232,7 +233,8 @@ def fused_frame_decode(window, cond, temperature, key, mlp_params, *,
     wt = jnp.dtype(weights_dtype)
 
     cond_t = jnp.moveaxis(cond, 1, 0).astype(jnp.float32)  # [f1, B, H]
-    noise = jax.random.gumbel(key, (f1, b, q_levels), jnp.float32)
+    if noise is None:
+        noise = jax.random.gumbel(key, (f1, b, q_levels), jnp.float32)
     args = (
         jnp.asarray(temperature, jnp.float32).reshape(1),
         window.astype(jnp.int32),

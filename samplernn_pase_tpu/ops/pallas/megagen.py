@@ -115,9 +115,11 @@ def _kernel(frame_sizes, n_top, q_levels, deterministic, cond_rate,
             rnn_type, n_rnn, use_ring, fused_embed, stream_top,
             host_noise, ablate_chain, seed_ref, temp_ref, *refs):
     # VMEM scratch (tail of the ref list): per-frame hoisted cond rows,
-    # per-frame gumbel noise, (ring mode) the embedded window, and
-    # (stream mode) the top-tier weight slot + its DMA semaphore
-    n_tail = 2 + (1 if use_ring else 0) + (2 if stream_top else 0)
+    # per-frame gumbel noise, (ring mode) the embedded window,
+    # (stream mode) the top-tier weight slot + its DMA semaphore, and
+    # (host noise) the gumbel-buffer DMA semaphore
+    n_tail = (2 + (1 if use_ring else 0) + (2 if stream_top else 0)
+              + (1 if host_noise else 0))
     tail = refs[len(refs) - n_tail:]
     refs = refs[:len(refs) - n_tail]
     cond_sc_ref, gum_sc_ref = tail[0], tail[1]
@@ -127,6 +129,9 @@ def _kernel(frame_sizes, n_top, q_levels, deterministic, cond_rate,
         ti += 1
     if stream_top:
         wtop_sc, wtop_sem = tail[ti], tail[ti + 1]
+        ti += 2
+    if host_noise:
+        gn_sem = tail[ti]
     k_tiers = len(frame_sizes)
     n_states = k_tiers * n_rnn      # one state ref per (tier, layer)
     spans = []
@@ -141,9 +146,13 @@ def _kernel(frame_sizes, n_top, q_levels, deterministic, cond_rate,
         ext_refs = refs[1:1 + k_tiers]
         refs = refs[1 + k_tiers:]
     if host_noise:
-        # per-bottom-frame Gumbel noise supplied by the host (interpret
-        # mode: the on-core PRNG does not exist off-TPU); indexed by the
-        # in-call bottom-frame counter pos // f1
+        # per-bottom-frame Gumbel noise supplied by the caller: interpret
+        # mode (no on-core PRNG off-TPU), the fixed-noise hardware parity
+        # check, and per-lane noise streams (serve.StreamPool — each
+        # lane's noise a pure function of its own key and position). The
+        # buffer lives in HBM (ANY) and one frame's [f1, B, q] block is
+        # DMA'd into the gumbel scratch per bottom frame — a VMEM ref
+        # would cap the buffer (B=128 x 1280-sample chunks = 167 MB).
         gnoise_ref = refs[0]
         refs = refs[1:]
     win_ref = refs[0]
@@ -354,7 +363,10 @@ def _kernel(frame_sizes, n_top, q_levels, deterministic, cond_rate,
                                      preferred_element_type=jnp.float32)
             if not deterministic:
                 if host_noise:
-                    gum_sc_ref[:] = gnoise_ref[pos // f1]
+                    cp = pltpu.make_async_copy(
+                        gnoise_ref.at[pos // f1], gum_sc_ref, gn_sem)
+                    cp.start()
+                    cp.wait()
                 else:
                     bits = pltpu.prng_random_bits((f1, b, q_levels))
                     u23 = jnp.bitwise_and(bits, jnp.int32(0x7FFFFF))
@@ -570,6 +582,11 @@ def generate_full_pallas(window, states, temperature, seed, tiers, mlp, *,
         in_specs[top0 + 2 + 4 * n_rnn] = any_spec   # w_up
         scratch.append(pltpu.VMEM(
             (hdim, max(gates_n, frame_sizes[-1]) * hdim), wt))
+        scratch.append(pltpu.SemaphoreType.DMA(()))
+    if host_noise:
+        # gumbel buffer stays in HBM; DMA'd per bottom frame
+        gn_i = (n_smem + (k + 1 if cond_rate else 0))
+        in_specs[gn_i] = pl.BlockSpec(memory_space=pl.ANY)
         scratch.append(pltpu.SemaphoreType.DMA(()))
     outs = pl.pallas_call(
         functools.partial(_kernel, frame_sizes, n_top, q_levels,

@@ -73,9 +73,16 @@ class StreamPool:
 
     ``emit`` returns the WHOLE batch as an async device array; the
     serving layer slices the lanes it owns (materializing per lane).
-    Sampling uses one key per call across lanes, so a lane's sampled
-    stream depends on pool membership history; greedy (temperature
-    None) lanes are bit-reproducible regardless.
+
+    Sampling is per-lane: each stream gets its own noise key at
+    ``start()`` — caller-pinned via ``start(stream_key=...)`` or
+    derived as fold_in(fold_in(pool_key, lane), lane_epoch), where
+    lane_epoch counts THIS lane's claims — and its noise at local
+    sample position p is gumbel(fold_in(stream_key, p)). A lane's
+    sampled stream is therefore a pure function of its own start:
+    invariant to when other streams join or leave, and bit-equal to a
+    solo ``StreamingGenerator(stream_keys=...)`` with the same key
+    (greedy lanes are reproducible as before).
     """
 
     def __init__(self, params, cfg: SampleRNNConfig, n_lanes: int,
@@ -93,6 +100,12 @@ class StreamPool:
         self.temperature = temperature
         self.key = key if key is not None else jax.random.PRNGKey(0)
         self.use_pallas = use_pallas
+        # per-lane noise streams (generate_levels lane_keys): key set at
+        # start(), position zeroed there and advanced per emit — a
+        # lane's sampled output never depends on the other lanes
+        self._lane_keys = jnp.zeros((self.n, 2), jnp.uint32)
+        self._noise_pos = jnp.zeros((self.n,), jnp.int32)
+        self._epochs = [0] * self.n         # claims of each lane so far
         self.states = samplernn.initial_state(params, cfg, self.n)
         self.hist = jnp.full((self.n, cfg.lookback),
                              quantize_zero(cfg.q_levels), jnp.int32)
@@ -145,6 +158,10 @@ class StreamPool:
         self.hist = jax.device_put(self.hist, pm.batch_sharding(mesh, 2))
         self._cursors = jax.device_put(self._cursors,
                                        pm.batch_sharding(mesh, 1))
+        self._lane_keys = jax.device_put(self._lane_keys,
+                                         pm.batch_sharding(mesh, 2))
+        self._noise_pos = jax.device_put(self._noise_pos,
+                                         pm.batch_sharding(mesh, 1))
         if self._cond_buf is not None:
             self._cond_buf = jax.device_put(self._cond_buf,
                                             pm.batch_sharding(mesh, 3))
@@ -154,7 +171,8 @@ class StreamPool:
 
     # -- lifecycle -------------------------------------------------------
     def start(self, cond=None, speaker=None, seed_levels=None,
-              seed_cond=None, lane: int | None = None) -> int:
+              seed_cond=None, lane: int | None = None,
+              stream_key=None) -> int:
         """Claim a lane for a new stream and return its index.
 
         cond: [frames, cond_dim] conditioning stream for this utterance
@@ -163,6 +181,11 @@ class StreamPool:
         [L] or [1, L] int32 prompt — the lane continues this audio
         (states warmed via :func:`~samplernn_pase_tpu.generate.prime`,
         with seed_cond rows covering the seed if conditioned).
+        stream_key: optional PRNG key pinning this stream's sampling
+        noise (default: derived from the pool key, the lane index and
+        the lane's claim count) — a solo
+        ``StreamingGenerator(stream_keys=stream_key)`` reproduces the
+        lane's sampled output bit-for-bit.
         """
         # validate EVERYTHING before claiming the lane — a rejected
         # start must not leak the slot
@@ -198,6 +221,12 @@ class StreamPool:
             if not 0 <= int(speaker) < self.cfg.n_speakers:
                 raise ValueError(f"speaker {speaker} out of range "
                                  f"[0, {self.cfg.n_speakers})")
+        if stream_key is not None:
+            stream_key = np.asarray(stream_key, np.uint32)
+            if stream_key.shape != (2,):
+                raise ValueError(
+                    "stream_key must be a raw [2]-uint32 PRNG key "
+                    f"(jax.random.PRNGKey(...)), got {stream_key.shape}")
         seed = None
         sc = None
         if seed_levels is not None:
@@ -224,6 +253,20 @@ class StreamPool:
         lane = self._free.pop() if lane is None else (
             self._free.remove(lane) or lane)
         la = jnp.int32(lane)
+        if self.temperature is not None:
+            # the lane's noise stream: pure function of this key and
+            # the lane's local position from here on (fold_in by lane
+            # and claim-epoch keeps default keys distinct AND invariant
+            # to what the other lanes ever did). Traced operands so all
+            # lanes share one executable.
+            skey = (jnp.asarray(stream_key)
+                    if stream_key is not None
+                    else jax.random.fold_in(
+                        jax.random.fold_in(self.key, la),
+                        jnp.int32(self._epochs[lane])))
+            self._lane_keys = self._lane_keys.at[la].set(skey)
+            self._noise_pos = self._noise_pos.at[la].set(0)
+        self._epochs[lane] += 1
         if self.cfg.cond_dim:
             # pad to the frame cap by repeating the last row — the one
             # clamp-extend definition (gen.fit_cond_stream) — and fold
@@ -299,12 +342,19 @@ class StreamPool:
             # speakered-unconditioned model: the spk stream is built
             # per chunk (time-invariant rows, so alignment is moot)
             spk = self._speakers_dev
-        self.key, sub = jax.random.split(self.key)
+        # per-lane noise (lane_keys) — self.key is never consumed on
+        # the emit path, so a lane's sampled stream cannot depend on
+        # how many chunks the pool served before it joined
+        sampled = self.temperature is not None
         levels, self.states, self.hist = gen.generate_levels(
             self.params, self.cfg, self.n, n_samples, self.temperature,
-            sub, cond=cond, initial_states=self.states, hist=self.hist,
-            use_pallas=self.use_pallas, speakers=spk, return_state=True,
-            cond_pos0=pos0)
+            self.key, cond=cond, initial_states=self.states,
+            hist=self.hist, use_pallas=self.use_pallas, speakers=spk,
+            return_state=True, cond_pos0=pos0,
+            lane_keys=self._lane_keys if sampled else None,
+            noise_pos0=self._noise_pos)
+        if sampled:
+            self._noise_pos = self._noise_pos + n_samples
         return levels
 
     def emit_waveform(self, n_samples: int):
