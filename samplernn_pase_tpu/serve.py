@@ -207,11 +207,8 @@ class StreamPool:
                 raise ValueError(
                     f"cond must be [frames, {self.cfg.cond_dim}], "
                     f"got {cond.shape}")
-            if cond.shape[0] > self._f_cap:
-                raise ValueError(
-                    f"cond stream has {cond.shape[0]} frames > pool "
-                    f"max_cond_frames={self._f_cap}; raise "
-                    "max_cond_frames at construction")
+            # streams longer than max_cond_frames grow the buffer
+            # (_ensure_cap below) rather than rejecting the start
         elif cond is not None:
             raise ValueError("cond passed to an unconditioned model")
         if self.cfg.n_speakers:
@@ -273,6 +270,7 @@ class StreamPool:
             # the speaker embedding in ONCE (solo folds it per emit in
             # generate_levels; add-then-gather == gather-then-add, so
             # the lane stays bit-identical to its solo generator)
+            self._ensure_cap(cond.shape[0])
             self._cond_len[lane] = cond.shape[0]
             cond_dev = jnp.asarray(gen.fit_cond_stream(cond, self._f_cap))
             if self.cfg.n_speakers:
@@ -312,6 +310,72 @@ class StreamPool:
             self._commit_sharded()
         self.active.add(lane)
         return lane
+
+    def _ensure_cap(self, frames: int):
+        """Grow the device-resident cond buffer (doubling) to hold
+        ``frames`` rows per lane. The pad repeats each lane's LAST row —
+        which is already its clamp row — so every active lane's decode
+        is unaffected. Growth changes the emit jit's cond shape: one
+        recompile per doubling, amortized across the pool's lifetime."""
+        if self._cond_buf is None or frames <= self._f_cap:
+            return
+        new_cap = max(1 << (frames - 1).bit_length(), 2 * self._f_cap)
+        pad = jnp.broadcast_to(
+            self._cond_buf[:, -1:, :],
+            (self.n, new_cap - self._f_cap, self.cfg.cond_dim))
+        self._cond_buf = jnp.concatenate([self._cond_buf, pad], axis=1)
+        self._f_cap = new_cap
+        if self.mesh is not None:
+            self._commit_sharded()
+
+    def extend_cond(self, lane: int, rows):
+        """Append conditioning rows to an ACTIVE lane's stream — the
+        streaming-TTS-encoder pattern (the pool twin of the solo
+        ``set_cond`` progressive extension): the lane keeps serving
+        while the encoder produces more rows of the SAME utterance.
+
+        ``rows`` [k, cond_dim] land at the lane's unpadded length and
+        the tail past the new end re-clamps to the new last row, all
+        device-side (one masked lane write; lane index and length ride
+        as traced scalars so every extension shares one executable per
+        row-count bucket). Samples already emitted are unaffected —
+        samples decoded past the old stream end used its clamp row, so
+        extend before the cursor reaches the rows that matter (the
+        ``pending``-style guarantee is the caller's scheduling). Grows
+        the buffer past ``max_cond_frames`` as needed (_ensure_cap).
+        """
+        if not self.cfg.cond_dim:
+            raise ValueError("extend_cond on a model without cond_dim")
+        if lane not in self.active:
+            raise ValueError(f"lane {lane} is not active")
+        rows = np.asarray(rows, np.float32)
+        if rows.ndim != 2 or rows.shape[0] == 0 \
+                or rows.shape[1] != self.cfg.cond_dim:
+            raise ValueError(
+                f"rows must be [k>0, {self.cfg.cond_dim}], "
+                f"got {rows.shape}")
+        ln, k = self._cond_len[lane], rows.shape[0]
+        self._ensure_cap(ln + k)
+        # bucket k to a power of two by repeating the last row (clamp
+        # semantics make the padded tail == the re-clamped tail, so the
+        # gather below is exact for any true k <= bucket)
+        kb = 1 << (k - 1).bit_length()
+        rows_dev = jnp.asarray(gen.fit_cond_stream(rows, kb))
+        if self.cfg.n_speakers:
+            rows_dev = rows_dev + jnp.take(
+                self.params["speaker"],
+                jnp.int32(self._speakers[lane]), axis=0)
+        la, lnj = jnp.int32(lane), jnp.int32(ln)
+        posi = jnp.arange(self._f_cap)
+        gathered = jnp.take(rows_dev, jnp.clip(posi - lnj, 0, kb - 1),
+                            axis=0)                      # [F, D]
+        lanebuf = jnp.where((posi >= lnj)[:, None], gathered,
+                            self._cond_buf[la])
+        self._cond_buf = self._cond_buf.at[la].set(lanebuf)
+        self._cond_len[lane] = ln + k
+        if self.mesh is not None:
+            self._commit_sharded()
+        return self
 
     def stop(self, lane: int):
         """Release a lane. Its slot keeps computing (garbage nobody

@@ -232,6 +232,94 @@ def test_pool_sampled_megakernel_interpret_matches_solo():
                       cond=cond_b, use_pallas="interpret"))
 
 
+def test_pool_extend_cond_matches_full_stream():
+    """Round-5 (VERDICT weak #8): a lane started with a PREFIX and
+    extended mid-stream (extend_cond — the streaming-TTS-encoder
+    pattern) emits exactly what a lane started with the full stream
+    emits, provided the extension lands before the cursor needs the
+    rows. Speaker-folded; chunks unaligned to cond_rate."""
+    cfg = SampleRNNConfig(frame_sizes=(4, 2), dim=16, embed_dim=8,
+                          cond_dim=6, cond_rate=12, n_speakers=2,
+                          compute_dtype="float32")
+    params = _mk(cfg, 13)
+    chunk = cfg.lookback                     # 8 samples -> rows 0..n
+    rng = np.random.default_rng(4)
+    full = rng.normal(size=(8, 6)).astype(np.float32)   # 96 samples
+
+    def run(prefix_rows):
+        pool = StreamPool(params, cfg, n_lanes=2, temperature=None)
+        lane = pool.start(cond=full[:prefix_rows] if prefix_rows
+                          else full, speaker=1)
+        outs = [np.asarray(pool.emit(chunk))[lane]]      # samples 0-7
+        if prefix_rows:
+            pool.extend_cond(lane, full[prefix_rows:])   # rest arrives
+        outs += [np.asarray(pool.emit(chunk))[lane] for _ in range(11)]
+        return np.concatenate(outs)                      # 96 samples
+
+    np.testing.assert_array_equal(run(2), run(0))
+    # and both equal the solo generator on the full stream
+    np.testing.assert_array_equal(
+        run(2), _solo(params, cfg, 12, chunk, cond=full, speaker=1))
+
+
+def test_pool_extend_cond_grows_past_cap():
+    """max_cond_frames is an initial capacity, not a limit: start() and
+    extend_cond() both grow the device buffer (doubling, clamp-row
+    pad), and active lanes are unaffected by a growth they didn't
+    cause."""
+    cfg = SampleRNNConfig(frame_sizes=(4, 2), dim=16, embed_dim=8,
+                          cond_dim=6, cond_rate=12,
+                          compute_dtype="float32")
+    params = _mk(cfg, 14)
+    chunk = cfg.lookback
+    rng = np.random.default_rng(5)
+    long_stream = rng.normal(size=(11, 6)).astype(np.float32)
+    other = rng.normal(size=(3, 6)).astype(np.float32)
+
+    pool = StreamPool(params, cfg, n_lanes=2, temperature=None,
+                      max_cond_frames=4)
+    a = pool.start(cond=other)               # active before any growth
+    b = pool.start(cond=long_stream[:3])
+    outs = [np.asarray(pool.emit(chunk))]
+    pool.extend_cond(b, long_stream[3:])     # 11 > 4: must grow
+    assert pool._f_cap >= 11
+    outs += [np.asarray(pool.emit(chunk)) for _ in range(11)]
+    out = np.concatenate(outs, axis=1)
+    np.testing.assert_array_equal(
+        out[b], _solo(params, cfg, 12, chunk, cond=long_stream))
+    np.testing.assert_array_equal(
+        out[a], _solo(params, cfg, 12, chunk, cond=other))
+    # start() with a stream longer than the cap also just grows
+    pool2 = StreamPool(params, cfg, n_lanes=1, temperature=None,
+                       max_cond_frames=4)
+    c = pool2.start(cond=long_stream)
+    got = np.concatenate(
+        [np.asarray(pool2.emit(chunk)) for _ in range(12)], axis=1)[c]
+    np.testing.assert_array_equal(
+        got, _solo(params, cfg, 12, chunk, cond=long_stream))
+
+
+def test_pool_extend_cond_validation():
+    cfg = SampleRNNConfig(frame_sizes=(4, 2), dim=16, embed_dim=8,
+                          cond_dim=6, cond_rate=12,
+                          compute_dtype="float32")
+    params = _mk(cfg, 15)
+    pool = StreamPool(params, cfg, n_lanes=1, temperature=None)
+    with pytest.raises(ValueError, match="not active"):
+        pool.extend_cond(0, np.zeros((2, 6), np.float32))
+    lane = pool.start(cond=np.zeros((2, 6), np.float32))
+    with pytest.raises(ValueError, match="rows"):
+        pool.extend_cond(lane, np.zeros((0, 6), np.float32))
+    with pytest.raises(ValueError, match="rows"):
+        pool.extend_cond(lane, np.zeros((2, 5), np.float32))
+    ucfg = SampleRNNConfig(frame_sizes=(4, 2), dim=16, embed_dim=8,
+                           compute_dtype="float32")
+    upool = StreamPool(_mk(ucfg, 16), ucfg, n_lanes=1, temperature=None)
+    upool.start()
+    with pytest.raises(ValueError, match="cond_dim"):
+        upool.extend_cond(0, np.zeros((2, 6), np.float32))
+
+
 def test_pool_sampled_reproducible():
     cfg = SampleRNNConfig(frame_sizes=(4, 2), dim=16, embed_dim=8,
                           compute_dtype="float32")
