@@ -230,7 +230,12 @@ def _stream_top_bytes(cfg):
     return big, scratch
 
 
-_VMEM_CAP = 112 * 1024 * 1024   # v5e-class ~128 MiB minus working space
+def _vmem_cap() -> int:
+    """Megakernel VMEM budget: the device's VMEM minus 16 MiB working
+    space (compiler temporaries, output staging) — 112 MiB on the
+    128-MiB v4/v5e/v6e class, derived per device (utils/vmem.py)."""
+    from samplernn_pase_tpu.utils.vmem import vmem_bytes
+    return vmem_bytes() - 16 * 1024 * 1024
 
 
 def _cond_row_bytes(cfg, n_seqs):
@@ -251,10 +256,10 @@ def _megakernel_mode(cfg, n_seqs):
         base += _cond_row_bytes(cfg, n_seqs) * (
             cfg.lookback // cfg.cond_rate + 2)
     wb = _megakernel_weight_bytes(cfg)
-    if wb + base <= _VMEM_CAP:
+    if wb + base <= _vmem_cap():
         return "resident"
     big, scratch = _stream_top_bytes(cfg)
-    if wb - big + scratch + base <= _VMEM_CAP:
+    if wb - big + scratch + base <= _vmem_cap():
         return "stream"
     return None
 
@@ -318,7 +323,7 @@ def _generate_full(params, cfg, n_seqs, length, temperature, key, hist,
     if stream_top:
         big, scratch = _stream_top_bytes(cfg)
         wb_eff = wb_eff - big + scratch
-    avail = _VMEM_CAP - wb_eff - _kernel_scratch_bytes(cfg, n_seqs)
+    avail = _vmem_cap() - wb_eff - _kernel_scratch_bytes(cfg, n_seqs)
     # per-top-frame VMEM: the int32 output block, plus (conditioned) the
     # f32 cond rows that cover one lookback span across all tiers
     per_top = float(n_seqs * lookback * 4)

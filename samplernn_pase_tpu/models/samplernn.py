@@ -127,11 +127,14 @@ def _prnn_vmem_fits(n_frames: int, batch: int, h: int,
     accumulators (3 gates GRU, 4 LSTM) — all resident.  Shapes past this
     bound (e.g. B=128 x 128 frames at H=1024) must use the XLA scan
     instead of failing to compile."""
+    from samplernn_pase_tpu.utils.vmem import vmem_bytes
     n_seq = 4 if rnn_type == "gru" else 5
     gates = 3 if rnn_type == "gru" else 4
     seq = n_seq * n_frames * batch * h * 2
     w = 4 * h * gates * h * 2 + 2 * h * gates * h * 4
-    return seq + w < 126 * 1024 * 1024
+    # device VMEM minus 2 MiB compiler slack (126 MiB on the 128-MiB
+    # v4/v5e class — the bound the kernel was validated against)
+    return seq + w < vmem_bytes() - 2 * 1024 * 1024
 
 
 def cond_index(n_frames: int, span: int, cond_rate: int):

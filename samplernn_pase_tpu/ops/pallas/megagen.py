@@ -38,6 +38,11 @@ from jax.experimental.pallas import tpu as pltpu
 from samplernn_pase_tpu.ops.weight_norm import resolve as _wn
 
 
+def _vmem_limit() -> int:
+    from samplernn_pase_tpu.utils.vmem import vmem_bytes
+    return vmem_bytes() - 8 * 1024 * 1024
+
+
 def _tier_ref_count(n_rnn: int) -> int:
     # wf, bf, [wih, bih, whh, bhh] x n_rnn, wup, bup per tier
     return 4 + 4 * n_rnn
@@ -602,7 +607,10 @@ def generate_full_pallas(window, states, temperature, seed, tiers, mlp, *,
         out_specs=(vmem,) * (1 + k * n_rnn),
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=120 * 1024 * 1024),
+            # device VMEM minus 8 MiB compiler slack (120 MiB on the
+            # 128-MiB class); the caller's routing (_megakernel_mode)
+            # already guarantees the kernel fits under this
+            vmem_limit_bytes=_vmem_limit()),
         interpret=interpret,
     )(*args)
     # reassemble model-layout per-tier states: gru [n_rnn, B, H],

