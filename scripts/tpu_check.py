@@ -203,7 +203,7 @@ def main():
     # --- conditioned STREAMED megakernel (set_cond + sample cursor) ---
     # chunked serving decode with cond_pos0 offsets must equal the
     # one-shot conditioned decode exactly (f32 greedy), on hardware —
-    # covers the kernel's cond_offsets row indexing at r0 != 0
+    # covers the kernel's per-lane cond_phase row indexing at r0 != 0
     cfgS4 = SampleRNNConfig(frame_sizes=(16, 4), dim=128, embed_dim=32,
                             cond_dim=32, cond_rate=160,
                             compute_dtype="float32")
@@ -221,6 +221,40 @@ def main():
     agree_s = (gotS == refS).mean()
     print(f"conditioned streamed mega vs one-shot (f32): {agree_s:.4f}")
     assert agree_s == 1.0, agree_s
+
+    # --- serving pool on hardware (round 5) ---
+    # the three round-5 serving paths through the COMPILED megakernel:
+    # per-lane noise (HBM gumbel buffer DMA'd per frame), per-lane cond
+    # phase at chunks unaligned to cond_rate (256 % 160 != 0), and
+    # extend_cond mid-stream — a sampled conditioned pool lane must be
+    # BIT-identical to a solo generator with the same stream key (f32)
+    from samplernn_pase_tpu.serve import StreamPool
+    cfgP = SampleRNNConfig(frame_sizes=(16, 4), dim=128, embed_dim=32,
+                           cond_dim=32, cond_rate=160,
+                           compute_dtype="float32")
+    pP = samplernn.init_params(jax.random.PRNGKey(11), cfgP)
+    chunkP = cfgP.lookback                    # 256 % 160 != 0
+    condP = np.asarray(jax.random.normal(jax.random.PRNGKey(13),
+                                         (12, 32)), np.float32)
+    kP = jax.random.PRNGKey(12)
+    pool = StreamPool(pP, cfgP, n_lanes=4, temperature=0.9,
+                      use_pallas="full")
+    aP = pool.start(cond=condP[:4], stream_key=kP)
+    outsP = [np.asarray(pool.emit(chunkP))]
+    pool.start(cond=condP[:2])                # churn mid-stream
+    pool.extend_cond(aP, condP[4:])           # encoder catches up
+    outsP += [np.asarray(pool.emit(chunkP)) for _ in range(5)]
+    outP = np.concatenate(outsP, axis=1)[aP]
+    sgP = gen.StreamingGenerator(pP, cfgP, 1, temperature=0.9,
+                                 stream_keys=kP, use_pallas="full")
+    sgP.set_cond(condP)
+    wantP = np.concatenate(
+        [np.asarray(sgP.emit(chunkP)) for _ in range(6)], axis=1)[0]
+    agree_p = (outP == wantP).mean()
+    print(f"sampled conditioned pool lane vs solo (f32 hw): "
+          f"{agree_p:.4f}")
+    assert agree_p == 1.0, agree_p
+    assert len(np.unique(outP)) > 8, "pool sampling collapsed"
 
     # --- whole-sequence training kernels (GRU + LSTM) on hardware ---
     # interpret-mode parity runs in CI; this is the real-chip check:
