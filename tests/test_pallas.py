@@ -364,6 +364,22 @@ def test_megakernel_mode_selection():
     assert gen._megakernel_mode(huge, 128) is None
 
 
+def test_vpu_ceiling_kernels_smoke():
+    """The roofline microbench kernels (scripts/vpu_ceiling.py) must
+    keep lowering: the VPU-tail kernel's argmax/one-hot agrees with
+    plain jnp and the MXU-stream kernel runs — CI guards the tools the
+    hardware roofline close-out depends on."""
+    import importlib.util
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "vpu_ceiling",
+        Path(__file__).resolve().parents[1] / "scripts" / "vpu_ceiling.py")
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    assert m.smoke() == 0
+
+
 def test_vmem_budget_routing(monkeypatch):
     """Round-5 (VERDICT weak #6): the VMEM budget is device-derived
     with an env override, not a baked v5e constant — shrinking it must
