@@ -721,8 +721,11 @@ class StreamingGenerator:
     decode-side mirror of the trainer's ``steps_per_call``): ``emit(n)``
     generates K×n samples in ONE device call and serves them from a
     buffer one chunk per call.  Greedy streams are bit-identical to
-    K=1; sampled streams stay per-chunk deterministic in the key but
-    consume the key on a different schedule.  Latency note: every K'th
+    K=1 — and so are SAMPLED streams when ``stream_keys`` is set
+    (noise is a pure function of key and position, so the lookahead
+    schedule is invisible); without stream_keys, sampled streams stay
+    per-chunk deterministic in the key but consume it on a different
+    schedule.  Latency note: every K'th
     call bears the generation cost, so K > 1 trades worst-case call
     latency for average throughput — size K to the audio buffer the
     serving layer already keeps.

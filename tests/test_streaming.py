@@ -88,6 +88,33 @@ def test_buffered_chunks_per_call_greedy_parity():
     np.testing.assert_array_equal(ref, oneshot)
 
 
+def test_buffered_sampled_invariant_with_stream_keys():
+    """Round-5: with per-stream noise keys (stream_keys), SAMPLED
+    streams join greedy ones in being invariant to the lookahead
+    schedule — noise is a pure function of (key, position), so
+    chunks_per_call=K, K'=1 and the one-shot decode all emit the same
+    samples. Without stream_keys this never held (the shared key is
+    consumed per dispatch)."""
+    params = samplernn.init_params(jax.random.PRNGKey(3), CFG)
+    lb = CFG.lookback
+    keys = np.stack([jax.random.PRNGKey(11), jax.random.PRNGKey(12)])
+
+    def collect(k):
+        sg = gen.StreamingGenerator(params, CFG, 2, temperature=0.9,
+                                    chunks_per_call=k, stream_keys=keys)
+        return np.concatenate(
+            [np.asarray(sg.emit(lb * 2)) for _ in range(6)], axis=1)
+
+    ref = collect(1)
+    np.testing.assert_array_equal(collect(3), ref)
+    np.testing.assert_array_equal(collect(4), ref)
+    oneshot = np.asarray(gen.generate_levels(
+        params, CFG, 2, lb * 12, temperature=0.9,
+        lane_keys=keys, noise_pos0=0))
+    np.testing.assert_array_equal(ref, oneshot)
+    assert len(np.unique(ref)) > 4        # genuinely sampled
+
+
 def test_buffered_prime_clears_lookahead():
     """prime() after buffered emits must discard the pre-seed lookahead:
     post-prime chunks equal the unbuffered primed stream."""
