@@ -4,7 +4,10 @@ at 16 kHz, batch 128, on the flagship 2-tier SampleRNN (config 5).
 Target: >= 64x realtime aggregate per chip = 1,024,000 samples/sec
 (BASELINE.md). vs_baseline is measured against that target.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} — or
+{"skipped": true, "reason": ...} with rc 0 when the TPU is unreachable
+(round-4 lesson: a dead tunnel relay made this script hang/traceback
+and the driver recorded rc=1, indistinguishable from a regression).
 """
 
 import json
@@ -23,15 +26,14 @@ LENGTH = 16_384           # ~1.02 s of 16 kHz audio per lane
 TARGET = 1_024_000.0      # samples/sec/chip (64x realtime aggregate)
 
 
-def main():
-    # Outage guard (round-4 lesson: a dead tunnel relay made this
-    # script hang/traceback, and the driver recorded rc=1 — which is
-    # indistinguishable from a code regression).  Probe in a
-    # subprocess with a timeout, retry once after 45 s, then emit one
-    # parsable skip line with rc 0.
-    from samplernn_pase_tpu.utils.tpu_guard import tpu_available, skip_marker
-    if not tpu_available():
-        print(skip_marker())
+def body():
+    from samplernn_pase_tpu.utils.tpu_guard import skip_marker
+
+    # the subprocess probe validated a SANITIZED env; if this process'
+    # own env still routes jax to CPU (e.g. PYTHONPATH breaking the
+    # axon plugin), a CPU number must not masquerade as the chip's
+    if jax.default_backend() not in ("tpu", "axon"):
+        print(skip_marker(f"backend_{jax.default_backend()}_env"))
         return 0
 
     from samplernn_pase_tpu.config import SampleRNNConfig
@@ -72,6 +74,16 @@ def main():
         "unit": "samples/sec/chip",
         "vs_baseline": round(sps / TARGET, 4),
     }))
+    return 0
+
+
+def main():
+    # Outage guard: subprocess probe with timeout (a dead relay makes
+    # in-process init HANG), deterministic-failure fast path, and a
+    # one-shot re-exec if THIS process' init hits the documented
+    # post-release transient (utils/tpu_guard.py).
+    from samplernn_pase_tpu.utils.tpu_guard import run_guarded
+    return run_guarded(body)
 
 
 if __name__ == "__main__":

@@ -32,6 +32,15 @@ from samplernn_pase_tpu.ops.mulaw import (
     levels_to_float, linear_dequantize, mu_law_decode, quantize_zero)
 
 
+def next_pow2(n: int) -> int:
+    """Smallest power of two >= n — the ONE bucketing rule every cond
+    consumer shares (set_cond stream buckets, StreamPool.extend_cond
+    row buckets, StreamPool._ensure_cap growth). Jitted decode
+    programs are keyed on cond shapes, so a shared rule keeps the
+    pool's recompile buckets aligned with the solo generator's."""
+    return 1 << (max(int(n), 1) - 1).bit_length()
+
+
 def fit_cond_stream(cond, n_frames: int):
     """Clamp-extend (repeat the last row) or trim a conditioning stream
     to exactly ``n_frames`` rows along axis -2. Accepts [T, D] or
@@ -813,7 +822,7 @@ class StreamingGenerator:
                     "allowed)")
         self._cond_frames = cond.shape[1]   # unpadded length
         f = cond.shape[1]
-        bucket = 1 << (f - 1).bit_length()
+        bucket = next_pow2(f)
         if bucket != f:   # repeat-last-row: the one clamp definition
             cond = fit_cond_stream(cond, bucket)
         self._cond_stream = jnp.asarray(cond)

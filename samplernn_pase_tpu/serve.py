@@ -319,7 +319,7 @@ class StreamPool:
         recompile per doubling, amortized across the pool's lifetime."""
         if self._cond_buf is None or frames <= self._f_cap:
             return
-        new_cap = max(1 << (frames - 1).bit_length(), 2 * self._f_cap)
+        new_cap = max(gen.next_pow2(frames), 2 * self._f_cap)
         pad = jnp.broadcast_to(
             self._cond_buf[:, -1:, :],
             (self.n, new_cap - self._f_cap, self.cfg.cond_dim))
@@ -359,7 +359,7 @@ class StreamPool:
         # bucket k to a power of two by repeating the last row (clamp
         # semantics make the padded tail == the re-clamped tail, so the
         # gather below is exact for any true k <= bucket)
-        kb = 1 << (k - 1).bit_length()
+        kb = gen.next_pow2(k)
         rows_dev = jnp.asarray(gen.fit_cond_stream(rows, kb))
         if self.cfg.n_speakers:
             rows_dev = rows_dev + jnp.take(

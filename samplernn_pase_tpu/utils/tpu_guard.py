@@ -5,14 +5,23 @@ mid-session.  When it does, backend init does NOT raise promptly — the
 process hangs at 0 CPU inside a connect-retry sleep — so an in-process
 ``try/except`` around ``jax.devices()`` is not a sufficient guard.  This
 helper probes backend availability in a *subprocess* with a hard
-timeout, retries once after a grace period (the backend also fails
-transiently for ~30-60 s right after another process releases the
-chip), and reports a clean boolean.
+timeout and reports a clean boolean; retries are reserved for the
+failure modes that are actually transient (the backend also fails for
+~30-60 s right after another process releases the chip), while a
+deterministic "this box has no TPU" assert returns immediately.
 
 Scripts use it to emit one parsable JSON line
 ``{"skipped": true, "reason": "tpu_unavailable"}`` with exit code 0
 instead of a raw traceback, so the driver can tell an outage from a
 code regression (round-4 lesson: BENCH_r04.json rc=1 was an outage).
+
+A successful probe has a sting in its tail: the probe subprocess
+itself claims and releases the chip, which is exactly the state in
+which the PARENT's own backend init is documented to fail transiently.
+jax caches a platform's init failure for the process lifetime, so an
+in-process retry cannot recover — ``run_guarded`` therefore re-execs
+the script once (fresh process, fresh jax) after a grace period, and
+only then emits the skip marker.
 """
 
 import os
@@ -26,30 +35,53 @@ _PROBE = (
     "jax.devices()[0]\n"
 )
 
+_RETRIED_ENV = "_SRNN_TPU_GUARD_RETRIED"
 
-def tpu_available(timeout_s: float = 90.0, retries: int = 1,
-                  retry_wait_s: float = 45.0) -> bool:
-    """True iff a TPU backend initialises in a subprocess within
-    ``timeout_s``.  Retries ``retries`` times after ``retry_wait_s``
-    (transient post-release init failures).  Never raises, never hangs
-    longer than (retries+1)*timeout_s + retries*retry_wait_s."""
+
+def _probe_once(timeout_s: float):
+    """Run the probe subprocess once. Returns (ok, transient): ok when
+    the backend initialized; transient when a retry could plausibly
+    change the outcome (hang/timeout or an init-time UNAVAILABLE), as
+    opposed to the deterministic no-TPU assert."""
     env = dict(os.environ)
     # PYTHONPATH=/root/repo breaks the axon plugin on this box; the
     # probe needs only stock jax, so drop it unconditionally.
     env.pop("PYTHONPATH", None)
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", _PROBE],
+            timeout=timeout_s,
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.PIPE,
+            env=env,
+        )
+    except subprocess.TimeoutExpired:
+        return False, True          # hang: dead relay or busy chip
+    except OSError:
+        return False, True
+    if r.returncode == 0:
+        return True, False
+    err = (r.stderr or b"").decode(errors="replace")
+    # AssertionError = the backend initialized fine but is cpu/gpu —
+    # deterministic, retrying burns 45 s on every CPU-only box
+    transient = "AssertionError" not in err
+    return False, transient
+
+
+def tpu_available(timeout_s: float = 90.0, retries: int = 1,
+                  retry_wait_s: float = 45.0) -> bool:
+    """True iff a TPU backend initialises in a subprocess within
+    ``timeout_s``.  Retries ``retries`` times after ``retry_wait_s``,
+    but only for transient failure modes (timeout / init UNAVAILABLE);
+    a deterministic non-TPU backend returns False immediately.  Never
+    raises, never hangs longer than
+    (retries+1)*timeout_s + retries*retry_wait_s."""
     for attempt in range(retries + 1):
-        try:
-            r = subprocess.run(
-                [sys.executable, "-c", _PROBE],
-                timeout=timeout_s,
-                stdout=subprocess.DEVNULL,
-                stderr=subprocess.DEVNULL,
-                env=env,
-            )
-            if r.returncode == 0:
-                return True
-        except (subprocess.TimeoutExpired, OSError):
-            pass
+        ok, transient = _probe_once(timeout_s)
+        if ok:
+            return True
+        if not transient:
+            return False
         if attempt < retries:
             time.sleep(retry_wait_s)
     return False
@@ -59,3 +91,39 @@ def skip_marker(reason: str = "tpu_unavailable") -> str:
     """The one-line JSON the driver scripts print when skipping."""
     import json
     return json.dumps({"skipped": True, "reason": reason})
+
+
+def _is_backend_init_error(exc: BaseException) -> bool:
+    s = str(exc)
+    return ("Unable to initialize backend" in s
+            or "failed to initialize" in s.lower()
+            or "UNAVAILABLE" in s)
+
+
+def run_guarded(body, retry_wait_s: float = 45.0) -> int:
+    """Run a TPU driver script's body behind the outage guard.
+
+    * no TPU reachable -> print the skip marker, rc 0;
+    * the parent's own backend init fails transiently right after the
+      probe released the chip -> re-exec this script ONCE (jax caches
+      the failed platform for the process lifetime, so an in-process
+      retry cannot work) after ``retry_wait_s``;
+    * still failing after the re-exec -> skip marker, rc 0 (an init
+      failure with a live relay is the documented post-release
+      transient, not a code regression);
+    * anything else raises normally (a real regression should be rc 1).
+    """
+    if not tpu_available():
+        print(skip_marker())
+        return 0
+    try:
+        return body()
+    except Exception as e:                    # noqa: BLE001
+        if not _is_backend_init_error(e):
+            raise
+        if os.environ.get(_RETRIED_ENV) != "1":
+            os.environ[_RETRIED_ENV] = "1"
+            time.sleep(retry_wait_s)
+            os.execv(sys.executable, [sys.executable] + sys.argv)
+        print(skip_marker("tpu_init_transient"))
+        return 0

@@ -48,6 +48,13 @@ N_REP = 4
 
 
 def main():
+    # outage guard: a dead tunnel relay makes the default_backend()
+    # probe below HANG, not raise (see utils/tpu_guard.py)
+    from samplernn_pase_tpu.utils.tpu_guard import run_guarded
+    return run_guarded(_hw_main)
+
+
+def _hw_main():
     if jax.default_backend() not in ("tpu", "axon"):
         print(json.dumps({"skipped": True,
                           "reason": f"no TPU ({jax.default_backend()})"}))

@@ -52,9 +52,6 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-
 B, H, Q, F1 = 128, 1024, 256, 16
 HEAD = (F1 - 1) * Q            # fused-embed window head rows
 N_STEPS = 4096                 # samples per timed kernel call
@@ -203,15 +200,20 @@ def main():
         # the tunnel relay is down, so force CPU before any jnp op
         jax.config.update("jax_platforms", "cpu")
         return smoke()
-    from samplernn_pase_tpu.utils.tpu_guard import tpu_available, \
-        skip_marker
-    if not tpu_available():
-        print(skip_marker())
-        return 0
+    from samplernn_pase_tpu.utils.tpu_guard import run_guarded
+    return run_guarded(_hw_main)
+
+
+def _hw_main():
     if jax.default_backend() not in ("tpu", "axon"):
         print(json.dumps({"skipped": True,
                           "reason": f"no TPU ({jax.default_backend()})"}))
         return 0
+    # persistent compile cache: set here, NOT at import time — the CI
+    # smoke test imports this module inside pytest and must not mutate
+    # the suite's global jax config
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     rng = np.random.default_rng(0)
     x = _inputs(rng)
