@@ -104,6 +104,13 @@ def run_solo(params, cfg, rng, chunk=1024, n_chunks=30,
 
 
 def main():
+    # outage guard: a dead tunnel relay makes the backend probe below
+    # HANG, not raise (utils/tpu_guard.py)
+    from samplernn_pase_tpu.utils.tpu_guard import run_guarded
+    return run_guarded(_hw_main)
+
+
+def _hw_main():
     if jax.default_backend() not in ("tpu", "axon"):
         print(json.dumps({"skipped": True,
                           "reason": f"no TPU ({jax.default_backend()})"}))

@@ -54,9 +54,19 @@ def dominant_hz(x):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--tiny", action="store_true",
-                    help="smaller model + fewer steps (CPU-friendly)")
+                    help="smaller model + fewer steps (runs on CPU)")
     ap.add_argument("--epochs", type=int, default=None)
     args = ap.parse_args()
+    if args.tiny:
+        # tiny mode needs no chip — and backend init HANGS when the
+        # tunnel relay is down, so pin CPU before any jnp op
+        jax.config.update("jax_platforms", "cpu")
+        return _run(args)
+    from samplernn_pase_tpu.utils.tpu_guard import run_guarded
+    return run_guarded(lambda: _run(args))
+
+
+def _run(args):
 
     from samplernn_pase_tpu.config import SampleRNNConfig, TrainConfig
     from samplernn_pase_tpu.models import samplernn

@@ -26,6 +26,14 @@ from samplernn_pase_tpu.ops.mulaw import quantize_zero
 
 
 def main():
+    # outage guard: a dead tunnel relay makes backend init HANG, not
+    # raise — probe in a subprocess first (utils/tpu_guard.py); real
+    # check failures still propagate as rc != 0
+    from samplernn_pase_tpu.utils.tpu_guard import run_guarded
+    return run_guarded(_hw_main)
+
+
+def _hw_main():
     assert jax.default_backend() != "cpu", "run on the TPU box"
     cfg = SampleRNNConfig(frame_sizes=(16, 4), dim=256, embed_dim=64,
                           rnn_type="gru", compute_dtype="bfloat16")
