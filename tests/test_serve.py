@@ -320,6 +320,45 @@ def test_pool_extend_cond_validation():
         upool.extend_cond(0, np.zeros((2, 6), np.float32))
 
 
+def test_pool_phase_and_noise_fuzz():
+    """Property fuzz of the round-5 math: random cond_rates, random
+    join times (so random per-lane phases), random chunk sizes
+    (lookback multiples), sampled — every lane must equal its solo
+    generator emitting the same chunk sequence from its join."""
+    rng = np.random.default_rng(123)
+    for trial, rate in enumerate((3, 12)):   # odd + even vs lookback 8
+        cfg = SampleRNNConfig(frame_sizes=(4, 2), dim=16, embed_dim=8,
+                              cond_dim=5, cond_rate=rate,
+                              compute_dtype="float32")
+        params = _mk(cfg, 20 + trial)
+        conds = [rng.normal(size=(int(rng.integers(2, 9)), 5))
+                 .astype(np.float32) for _ in range(3)]
+        keys = [jax.random.PRNGKey(100 + 10 * trial + i)
+                for i in range(3)]
+        chunks = [int(c) * cfg.lookback
+                  for c in rng.integers(1, 4, size=6)]
+        pool = StreamPool(params, cfg, n_lanes=3, temperature=0.85)
+        joined, outs = {}, []
+        for step, chunk in enumerate(chunks):
+            if step < 3:               # staggered joins at steps 0,1,2
+                lane = pool.start(cond=conds[step],
+                                  stream_key=keys[step])
+                joined[lane] = step
+            outs.append(np.asarray(pool.emit(chunk)))
+        for lane, step0 in joined.items():
+            got = np.concatenate(
+                [o[lane] for o in outs[step0:]])
+            sg = gen.StreamingGenerator(params, cfg, 1,
+                                        temperature=0.85,
+                                        stream_keys=keys[step0])
+            sg.set_cond(conds[step0])
+            want = np.concatenate(
+                [np.asarray(sg.emit(c))[0] for c in chunks[step0:]])
+            np.testing.assert_array_equal(got, want, err_msg=(
+                f"trial={trial} rate={rate} lane={lane} "
+                f"chunks={chunks}"))
+
+
 def test_pool_sampled_reproducible():
     cfg = SampleRNNConfig(frame_sizes=(4, 2), dim=16, embed_dim=8,
                           compute_dtype="float32")
