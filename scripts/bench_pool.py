@@ -1,11 +1,13 @@
 """Multi-stream serving latency: `serve.StreamPool` on the flagship
 conditioned TTS config (docs/PERF.md "Streaming / serving profile").
 
-Measures per-chunk wall time for an n-lane pool emitting 1280-sample
-chunks (80 ms of 16 kHz audio — the lcm(lookback=256, cond_rate=160)
-alignment the conditioned pool requires), with per-lane cond streams
-attached and one mid-run join + leave to exercise the lifecycle at
-serving time. Enqueue-ahead loop (materialize chunk i-1 after
+Measures per-chunk wall time for an n-lane pool with per-lane cond
+streams attached and one mid-run join + leave to exercise the
+lifecycle at serving time, at BOTH 1280-sample chunks (80 ms — the old
+lcm(lookback, cond_rate) floor) and 1024-sample chunks (64 ms — the
+round-5 per-lane-phase floor, same as unconditioned lanes): the 64 ms
+rows are the conditioned-pool latency improvement of lifting the
+alignment restriction. Enqueue-ahead loop (materialize chunk i-1 after
 dispatching chunk i), per-chunk latency measured around each dispatch+
 drain pair. (Correctness of the measured path — pool lane == solo
 generator — is pinned by tests/test_serve.py in greedy mode.)
@@ -25,20 +27,19 @@ import jax
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
-CHUNK = 1280           # lcm(256, 160) = 80 ms @ 16 kHz
 N_CHUNKS = 24
 
 
-def run_pool(params, cfg, n_lanes, rng):
+def run_pool(params, cfg, n_lanes, rng, chunk=1280):
     from samplernn_pase_tpu.serve import StreamPool
 
-    n_rows = (N_CHUNKS + 2) * CHUNK // cfg.cond_rate
+    n_rows = -(-(N_CHUNKS + 2) * chunk // cfg.cond_rate)
     conds = [rng.normal(size=(n_rows, cfg.cond_dim)).astype(np.float32)
              for _ in range(n_lanes + 1)]
     pool = StreamPool(params, cfg, n_lanes, temperature=0.95,
                       key=jax.random.PRNGKey(0))
     lanes = [pool.start(cond=conds[i]) for i in range(n_lanes)]
-    np.asarray(pool.emit(CHUNK))          # compile + warm
+    np.asarray(pool.emit(chunk))          # compile + warm
     for lane in lanes:
         pool.stop(lane)
     lanes = [pool.start(cond=conds[i]) for i in range(n_lanes)]
@@ -49,16 +50,16 @@ def run_pool(params, cfg, n_lanes, rng):
             pool.stop(lanes[-1])
             lanes[-1] = pool.start(cond=conds[n_lanes])
         t0 = time.perf_counter()
-        cur = pool.emit(CHUNK)
+        cur = pool.emit(chunk)
         if prev is not None:
             np.asarray(prev)
         prev = cur
         times.append(time.perf_counter() - t0)
     np.asarray(prev)
     ms = np.asarray(times[1:]) * 1e3      # steady state
-    chunk_ms = CHUNK / 16_000 * 1e3
+    chunk_ms = chunk / 16_000 * 1e3
     return {
-        "metric": f"pool_serving_n{n_lanes}_chunk{CHUNK}",
+        "metric": f"pool_serving_n{n_lanes}_chunk{chunk}",
         "median_ms_per_chunk": round(float(np.median(ms)), 2),
         "worst_ms": round(float(ms.max()), 2),
         "per_stream_realtime_x": round(chunk_ms / float(np.median(ms)), 2),
@@ -131,6 +132,11 @@ def _hw_main():
     print(json.dumps(run_solo(params, cfg, rng)), flush=True)
     for n_lanes in (8, 32, 128):
         print(json.dumps(run_pool(params, cfg, n_lanes, rng)), flush=True)
+    # round-5: conditioned pools at 64 ms chunks (per-lane phase lifted
+    # the lcm alignment floor) — the conditioned-pool latency rows
+    for n_lanes in (8, 32, 128):
+        print(json.dumps(run_pool(params, cfg, n_lanes, rng,
+                                  chunk=1024)), flush=True)
     return 0
 
 
