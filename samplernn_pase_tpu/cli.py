@@ -426,7 +426,13 @@ def cmd_stream(args):
         params, exp.model, n_seqs=1, temperature=temp or None,
         key=jax.random.PRNGKey(args.seed if args.seed is not None
                                else gcfg.seed),
-        chunks_per_call=args.chunks_per_call or 1)
+        chunks_per_call=args.chunks_per_call or 1,
+        # --stream-key pins a per-stream noise key: the sampled stream
+        # becomes a pure function of (key, position) — reproducible
+        # across chunk sizes and lookahead schedules, and identical to
+        # a StreamPool lane started with the same key
+        stream_keys=(jax.random.PRNGKey(args.stream_key)
+                     if args.stream_key is not None else None))
     if cond is not None:
         sg.set_cond(cond)
     speakers = None
@@ -726,6 +732,12 @@ def main(argv=None):
                     help="lookahead chunks per device call")
     ps.add_argument("--temperature", type=float)
     ps.add_argument("--seed", type=int)
+    ps.add_argument("--stream-key", dest="stream_key", type=int,
+                    help="per-stream noise key: sampled output becomes "
+                         "a pure function of (key, position) — "
+                         "invariant to --chunk-ms and "
+                         "--chunks-per-call, reproducible by a "
+                         "StreamPool lane with the same key")
     ps.add_argument("--speaker", type=int)
     ps.add_argument("--cond", help=".npy PASE embedding stream for TTS")
     ps.add_argument("--cond-wav", dest="cond_wav",

@@ -373,6 +373,22 @@ def test_cli_stream_verb(wav_dir, tmp_path):
               "--chunks-per-call", "4", "--temperature", "0"])
     y2, _ = read_wav(out2)
     assert len(y2) >= 256
+    # round-5: --stream-key pins per-stream noise — the SAMPLED stream
+    # is identical across chunk sizes and lookahead schedules
+    outs = {}
+    for tag, extra in (("a", ["--chunk-ms", "16"]),
+                       ("b", ["--chunk-ms", "32"]),
+                       ("c", ["--chunk-ms", "16",
+                              "--chunks-per-call", "2"])):
+        p = tmp_path / f"sk_{tag}.wav"
+        cli.main(["stream", "--ckpt", str(exp), "--out", str(p),
+                  "--seconds", "0.064", "--temperature", "0.9",
+                  "--stream-key", "5"] + extra)
+        outs[tag], _ = read_wav(p)
+    assert len(outs["a"]) == len(outs["b"]) == 1024
+    np.testing.assert_array_equal(outs["a"], outs["b"])
+    np.testing.assert_array_equal(outs["a"], outs["c"])
+    assert len(np.unique(outs["a"])) > 8          # genuinely sampled
 
 
 def test_cli_stream_seed_wav_starts_at_continuation(wav_dir, tmp_path):
