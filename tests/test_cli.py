@@ -526,6 +526,61 @@ def test_cli_evaluate_small_split_scores_every_sample(tmp_path):
     assert np.isfinite(rep["nll_bits"]) and rep["nll_bits"] > 0
 
 
+def test_cli_evaluate_conditioned_exact_on_imbalanced_split(tmp_path):
+    """The per-lane tail passes must thread per-chunk CONDITIONING too:
+    full-batch conditioned evaluate on an imbalanced split equals the
+    1-lane exact run, coverage 1.0."""
+    import io
+    import sys as _sys
+
+    from samplernn_pase_tpu import cli
+    from samplernn_pase_tpu.data.dataset import WavCorpus
+
+    d = tmp_path / "wavs"
+    d.mkdir()
+    cond_dir = tmp_path / "cond"
+    cond_dir.mkdir()
+    rng = np.random.default_rng(17)
+    lengths = [3000, 2100, 1200, 700]
+    t0 = np.arange(max(lengths)) / 16_000
+    for i, n in enumerate(lengths):
+        x = 0.4 * np.sin(2 * np.pi * (100 + 50 * i) * t0[:n])
+        x += 0.05 * rng.normal(size=n)
+        write_wav(d / f"u{i}.wav", np.clip(x, -1, 1), 16_000)
+        np.save(cond_dir / f"u{i}.npy",
+                rng.normal(size=(-(-n // 16), 10)).astype(np.float32))
+    exp = tmp_path / "exp"
+    cli.main([
+        "train", "--dataset", str(d), "--cond-dir", str(cond_dir),
+        "--exp-dir", str(exp),
+        "--frame_sizes", "4", "2", "--dim", "16", "--embed_dim", "8",
+        "--cond_dim", "10", "--cond_rate", "16",
+        "--batch_size", "2", "--seq_len", "256", "--epochs", "1",
+    ])
+
+    def run_eval(batch_size):
+        buf = io.StringIO()
+        stdout = _sys.stdout
+        _sys.stdout = buf
+        try:
+            cli.main(["evaluate", "--ckpt", str(exp), "--dataset",
+                      str(d), "--cond-dir", str(cond_dir),
+                      "--split", "train",
+                      "--batch_size", str(batch_size),
+                      "--seq_len", "256"])
+        finally:
+            _sys.stdout = stdout
+        return json.loads(buf.getvalue().strip().splitlines()[-1])
+
+    full, exact = run_eval(2), run_eval(1)
+    corpus = WavCorpus.from_folder(d, 256)
+    split = corpus.train_idx or list(range(len(lengths)))
+    total = sum(len(corpus.utterances[i]) for i in split)
+    assert full["samples"] == total == exact["samples"]
+    assert full["coverage"] == 1.0 == exact["coverage"]
+    assert abs(full["nll_bits"] - exact["nll_bits"]) < 1e-4
+
+
 def test_cli_evaluate_full_batch_exact_on_imbalanced_split(tmp_path):
     """Round-5 (VERDICT weak #2): at batch_size > 1 on a length-
     imbalanced split, the aligned pass stops at the shortest lane; the
