@@ -36,6 +36,10 @@ from samplernn_pase_tpu.ops.audio_io import write_wav
 
 
 def main(out_path="pool_demo.wav"):
+    # falls back to CPU when no TPU backend is reachable (a dead tunnel
+    # relay makes init hang, not raise — probe before the first jnp op)
+    from samplernn_pase_tpu.utils.tpu_guard import pin_reachable_platform
+    print(f"platform: {pin_reachable_platform()}")
     cfg = SampleRNNConfig(frame_sizes=(16, 4), dim=128, embed_dim=64,
                           cond_dim=32, cond_rate=64, n_speakers=4,
                           compute_dtype="float32")

@@ -20,9 +20,13 @@ from samplernn_pase_tpu.data.dataset import synthetic_corpus
 from samplernn_pase_tpu.train import trainer as tr
 from samplernn_pase_tpu import generate as gen
 from samplernn_pase_tpu.ops.audio_io import write_wav
+from samplernn_pase_tpu.utils.tpu_guard import pin_reachable_platform
 
 
 def main(out_dir="example_out"):
+    # falls back to CPU when no TPU backend is reachable (a dead tunnel
+    # relay makes init hang, not raise — probe before the first jnp op)
+    print(f"platform: {pin_reachable_platform()}")
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
 

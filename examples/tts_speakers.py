@@ -50,7 +50,10 @@ def main(out_dir="example_tts_out"):
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
 
-    on_tpu = jax.default_backend() not in ("cpu",)
+    # probe-and-pin BEFORE the first backend-touching op: a dead tunnel
+    # relay makes in-process init hang rather than raise
+    from samplernn_pase_tpu.utils.tpu_guard import pin_reachable_platform
+    on_tpu = pin_reachable_platform() == "tpu"
     cfg = SampleRNNConfig(
         frame_sizes=(16, 4), dim=256 if on_tpu else 64, embed_dim=64,
         cond_dim=16, cond_rate=256, n_speakers=2,

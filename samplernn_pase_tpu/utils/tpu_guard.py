@@ -87,6 +87,28 @@ def tpu_available(timeout_s: float = 90.0, retries: int = 1,
     return False
 
 
+def pin_reachable_platform(timeout_s: float = 60.0) -> str:
+    """For examples/demos that should run ANYWHERE rather than skip:
+    pin jax to CPU when no TPU backend is actually reachable, and
+    return the platform chosen ("tpu" or "cpu").
+
+    A dead tunnel relay makes in-process backend init HANG (not raise),
+    so the probe runs in a subprocess with a hard timeout; call this
+    BEFORE the first backend-touching op.  When a TPU is reachable the
+    platform is left for normal selection, so the demo runs the real
+    device pipeline.  (The probe subprocess claims and releases the
+    chip, so the caller's own init can still fail transiently for
+    ~30-60 s right after — that raises promptly and a rerun recovers;
+    the hang is what this helper exists to avoid.)  On a plain CPU box
+    the probe fails its backend assert immediately — no retry wait."""
+    import jax
+
+    if tpu_available(timeout_s=timeout_s, retries=0):
+        return "tpu"
+    jax.config.update("jax_platforms", "cpu")
+    return "cpu"
+
+
 def skip_marker(reason: str = "tpu_unavailable") -> str:
     """The one-line JSON the driver scripts print when skipping."""
     import json

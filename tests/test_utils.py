@@ -20,6 +20,27 @@ def test_checked_raises_on_nan():
         f(jnp.asarray([-1.0]))
 
 
+def test_pin_reachable_platform_cpu_fallback(monkeypatch):
+    """No reachable TPU -> pins jax to CPU (the examples' guard against
+    the dead-relay init hang) and reports "cpu"."""
+    from samplernn_pase_tpu.utils import tpu_guard
+
+    monkeypatch.setattr(tpu_guard, "tpu_available", lambda **kw: False)
+    assert tpu_guard.pin_reachable_platform() == "cpu"
+    assert jax.config.jax_platforms == "cpu"   # conftest pins cpu too
+
+
+def test_pin_reachable_platform_leaves_tpu_selection(monkeypatch):
+    """Reachable TPU -> platform selection untouched (demo runs the
+    real device pipeline)."""
+    from samplernn_pase_tpu.utils import tpu_guard
+
+    before = jax.config.jax_platforms
+    monkeypatch.setattr(tpu_guard, "tpu_available", lambda **kw: True)
+    assert tpu_guard.pin_reachable_platform() == "tpu"
+    assert jax.config.jax_platforms == before
+
+
 def test_step_timer_throughput():
     t = StepTimer(window=10)
     x = jnp.ones(8)
