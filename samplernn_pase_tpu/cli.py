@@ -659,8 +659,52 @@ def cmd_evaluate(args):
     print(json.dumps(out))
 
 
+def _ensure_backend(platform: str):
+    """Bounded backend bring-up before any verb runs.
+
+    On a TPU box whose tunnel relay has died, jax backend init HANGS
+    in a connect-retry loop instead of raising — a `train` would sit
+    silently forever.  ``cpu`` pins the CPU platform before anything
+    initializes; ``auto``/``tpu`` run the init under a watchdog thread
+    and turn a hang into a clear, actionable error (the hung init
+    holds jax's backend lock, so in-process fallback is impossible —
+    exiting with the fix spelled out is the only honest option).
+    """
+    import os
+    import threading
+
+    import jax
+
+    if platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+        return
+    got = []
+    t = threading.Thread(target=lambda: got.append(jax.default_backend()),
+                         daemon=True)
+    t.start()
+    t.join(timeout=float(os.environ.get("SRNN_INIT_TIMEOUT_S", "180")))
+    if t.is_alive():
+        print(
+            "error: jax backend init did not complete within "
+            f"{os.environ.get('SRNN_INIT_TIMEOUT_S', '180')}s — on a TPU "
+            "box this usually means the tunnel relay is down. Rerun with "
+            "--platform cpu, or raise SRNN_INIT_TIMEOUT_S.",
+            file=sys.stderr, flush=True)
+        os._exit(2)          # the hung thread holds jax's backend lock
+    if platform == "tpu" and got[0] not in ("tpu", "axon"):
+        sys.exit(f"error: --platform tpu requested but the backend is "
+                 f"'{got[0]}'")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="samplernn_pase_tpu")
+    p.add_argument("--platform", choices=["auto", "tpu", "cpu"],
+                   default="auto",
+                   help="device selection: cpu pins the CPU backend "
+                        "before init; tpu requires a TPU; auto uses "
+                        "whatever initializes (all modes bound backend "
+                        "init with a watchdog so a dead TPU tunnel "
+                        "fails loudly instead of hanging)")
     sub = p.add_subparsers(dest="verb", required=True)
 
     pt = sub.add_parser("train")
@@ -771,6 +815,7 @@ def main(argv=None):
     pv.set_defaults(fn=cmd_evaluate)
 
     args = p.parse_args(argv)
+    _ensure_backend(args.platform)
     args.fn(args)
 
 

@@ -638,3 +638,19 @@ def test_cli_evaluate_full_batch_exact_on_imbalanced_split(tmp_path):
     assert full["coverage"] == 1.0 == exact["coverage"]
     assert abs(full["nll_bits"] - exact["nll_bits"]) < 1e-4, (
         full["nll_bits"], exact["nll_bits"])
+
+
+def test_cli_platform_flag(wav_dir, tmp_path):
+    """--platform cpu pins the backend before any verb; --platform tpu
+    on a CPU-backed process is a clear error, not a hang (the watchdog
+    in _ensure_backend bounds backend init — dead-relay regression)."""
+    from samplernn_pase_tpu import cli
+
+    out = tmp_path / "emb"
+    cli.main(["--platform", "cpu", "extract", "--dataset", str(wav_dir),
+              "--out", str(out)])
+    assert sorted(out.glob("*.npy"))
+
+    with pytest.raises(SystemExit):
+        cli.main(["--platform", "tpu", "extract", "--dataset",
+                  str(wav_dir), "--out", str(tmp_path / "emb2")])
