@@ -36,6 +36,8 @@ never corrupt audio another lane has in flight.
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -44,6 +46,67 @@ from . import generate as gen
 from .config import SampleRNNConfig
 from .models import samplernn
 from .ops.mulaw import quantize_zero
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _pool_join(params, states, hist, la, lane_keys, noise_pos,
+               stream_key, key_epoch, cursors, cond_buf, cond_dev,
+               speakers_dev, spk, *, cfg):
+    """Every pool-array update of one join as ONE compiled program.
+
+    Run eagerly these are 7-9 separate dispatches per join (state
+    reset, history, key, noise position, cursor, conditioning scatter
+    + speaker fold, speaker id) — on a remote-attached host each costs
+    a round trip, which is why PERF.md's worst-case chunks correlated
+    with mid-run joins.  The lane index, stream key, claim epoch and
+    speaker id ride as traced operands, so every join on any lane
+    shares this one executable (per cond-capacity bucket).
+
+    ``stream_key``/``key_epoch``/``cond_dev``/``spk`` are None for the
+    variants that don't apply (greedy pool, caller-pinned key,
+    unconditioned, speakerless) — None is pytree structure, so each
+    variant is its own cached executable with the same math as the old
+    eager path (bit-exactness is pinned by the pool==solo tests).
+    """
+    b = hist.shape[0]
+    resets = (jnp.arange(b) == la).astype(jnp.float32)
+    states = samplernn.reset_state(params, cfg, states, resets)
+    hist = hist.at[la].set(quantize_zero(cfg.q_levels))
+    skey = stream_key
+    if skey is None and key_epoch is not None:
+        pool_key, epoch = key_epoch
+        skey = jax.random.fold_in(jax.random.fold_in(pool_key, la), epoch)
+    if skey is not None:
+        lane_keys = lane_keys.at[la].set(skey)
+        noise_pos = noise_pos.at[la].set(0)
+    if cond_dev is not None:
+        if spk is not None:
+            # fold the speaker embedding in ONCE (solo folds it per
+            # emit; add-then-gather == gather-then-add, so the lane
+            # stays bit-identical to its solo generator)
+            cond_dev = cond_dev + jnp.take(params["speaker"], spk, axis=0)
+        cond_buf = cond_buf.at[la].set(cond_dev)
+        cursors = cursors.at[la].set(0)
+    if speakers_dev is not None:
+        speakers_dev = speakers_dev.at[la].set(spk)
+    return (states, hist, lane_keys, noise_pos, cursors, cond_buf,
+            speakers_dev)
+
+
+@jax.jit
+def _pool_extend(params, cond_buf, la, ln, rows_dev, spk):
+    """extend_cond's lane rewrite as ONE compiled program: append
+    ``rows_dev`` ([kb, D], last-row-padded to its power-of-two bucket)
+    at row ``ln`` and re-clamp the tail, all traced (one executable per
+    row-count bucket; ``spk`` is None for speakerless models)."""
+    if spk is not None:
+        rows_dev = rows_dev + jnp.take(params["speaker"], spk, axis=0)
+    kb = rows_dev.shape[0]
+    posi = jnp.arange(cond_buf.shape[1])
+    gathered = jnp.take(rows_dev, jnp.clip(posi - ln, 0, kb - 1),
+                        axis=0)                          # [F, D]
+    lanebuf = jnp.where((posi >= ln)[:, None], gathered, cond_buf[la])
+    return cond_buf.at[la].set(lanebuf)
 
 
 def _scatter_lane(pool_tree, one_tree, lane):
@@ -146,9 +209,10 @@ class StreamPool:
 
     def _commit_sharded(self):
         """(Re-)place every lane-carrying array with its mesh sharding.
-        Called after lifecycle mutations: eager scatters on sharded
-        arrays can leave unspecified output shardings, and the emit jit
-        should always see the canonical layout."""
+        Called after lifecycle mutations: the join/extend jits (and the
+        seeded path's eager scatters) can leave unspecified output
+        shardings, and the emit jit should always see the canonical
+        layout."""
         from samplernn_pase_tpu.parallel import mesh as pm
         mesh = self.mesh
         self.states = tuple(
@@ -250,44 +314,36 @@ class StreamPool:
         lane = self._free.pop() if lane is None else (
             self._free.remove(lane) or lane)
         la = jnp.int32(lane)
+        # the lane's noise stream: pure function of its key and its
+        # local position from here on (the default derives by lane and
+        # claim-epoch, keeping keys distinct AND invariant to what the
+        # other lanes ever did — derived inside the join jit)
+        skey = key_epoch = None
         if self.temperature is not None:
-            # the lane's noise stream: pure function of this key and
-            # the lane's local position from here on (fold_in by lane
-            # and claim-epoch keeps default keys distinct AND invariant
-            # to what the other lanes ever did). Traced operands so all
-            # lanes share one executable.
-            skey = (jnp.asarray(stream_key)
-                    if stream_key is not None
-                    else jax.random.fold_in(
-                        jax.random.fold_in(self.key, la),
-                        jnp.int32(self._epochs[lane])))
-            self._lane_keys = self._lane_keys.at[la].set(skey)
-            self._noise_pos = self._noise_pos.at[la].set(0)
+            if stream_key is not None:
+                skey = jnp.asarray(stream_key)
+            else:
+                key_epoch = (self.key, jnp.int32(self._epochs[lane]))
         self._epochs[lane] += 1
+        cond_dev = spk_dev = None
         if self.cfg.cond_dim:
             # pad to the frame cap by repeating the last row — the one
-            # clamp-extend definition (gen.fit_cond_stream) — and fold
-            # the speaker embedding in ONCE (solo folds it per emit in
-            # generate_levels; add-then-gather == gather-then-add, so
-            # the lane stays bit-identical to its solo generator)
+            # clamp-extend definition (gen.fit_cond_stream); the join
+            # jit folds the speaker embedding in once on device
             self._ensure_cap(cond.shape[0])
             self._cond_len[lane] = cond.shape[0]
             cond_dev = jnp.asarray(gen.fit_cond_stream(cond, self._f_cap))
-            if self.cfg.n_speakers:
-                cond_dev = cond_dev + jnp.take(
-                    self.params["speaker"], jnp.int32(speaker), axis=0)
-            self._cond_buf = self._cond_buf.at[la].set(cond_dev)
-            self._cursors = self._cursors.at[la].set(0)
         if self.cfg.n_speakers:
             self._speakers[lane] = int(speaker)
-            self._speakers_dev = self._speakers_dev.at[la].set(
-                np.int32(speaker))
-        # fresh per-lane state: learned h0 + q_zero history
-        resets = (jnp.arange(self.n) == la).astype(jnp.float32)
-        self.states = samplernn.reset_state(self.params, self.cfg,
-                                            self.states, resets)
-        self.hist = self.hist.at[la].set(
-            quantize_zero(self.cfg.q_levels))
+            spk_dev = jnp.int32(speaker)
+        # fresh per-lane state (learned h0 + q_zero history) + all the
+        # lane-array writes in ONE dispatch (_pool_join)
+        (self.states, self.hist, self._lane_keys, self._noise_pos,
+         self._cursors, self._cond_buf, self._speakers_dev) = _pool_join(
+            self.params, self.states, self.hist, la, self._lane_keys,
+            self._noise_pos, skey, key_epoch, self._cursors,
+            self._cond_buf, cond_dev, self._speakers_dev, spk_dev,
+            cfg=self.cfg)
         if seed is not None:
             spk1 = (np.asarray([self._speakers[lane]], np.int32)
                     if self._speakers is not None else None)
@@ -297,7 +353,7 @@ class StreamPool:
             except Exception:
                 # never leak the claimed slot: the lane's state was
                 # already reset above, so returning it to the free list
-                # is safe — but the eager scatters already ran, so a
+                # is safe — but the join dispatch already ran, so a
                 # mesh pool must still recommit canonical shardings for
                 # the surviving lanes' emits
                 self._free.append(lane)
@@ -358,20 +414,15 @@ class StreamPool:
         self._ensure_cap(ln + k)
         # bucket k to a power of two by repeating the last row (clamp
         # semantics make the padded tail == the re-clamped tail, so the
-        # gather below is exact for any true k <= bucket)
+        # traced gather in _pool_extend is exact for any true k <=
+        # bucket); the whole lane rewrite is one dispatch
         kb = gen.next_pow2(k)
         rows_dev = jnp.asarray(gen.fit_cond_stream(rows, kb))
-        if self.cfg.n_speakers:
-            rows_dev = rows_dev + jnp.take(
-                self.params["speaker"],
-                jnp.int32(self._speakers[lane]), axis=0)
-        la, lnj = jnp.int32(lane), jnp.int32(ln)
-        posi = jnp.arange(self._f_cap)
-        gathered = jnp.take(rows_dev, jnp.clip(posi - lnj, 0, kb - 1),
-                            axis=0)                      # [F, D]
-        lanebuf = jnp.where((posi >= lnj)[:, None], gathered,
-                            self._cond_buf[la])
-        self._cond_buf = self._cond_buf.at[la].set(lanebuf)
+        spk_dev = (jnp.int32(self._speakers[lane])
+                   if self.cfg.n_speakers else None)
+        self._cond_buf = _pool_extend(
+            self.params, self._cond_buf, jnp.int32(lane), jnp.int32(ln),
+            rows_dev, spk_dev)
         self._cond_len[lane] = ln + k
         if self.mesh is not None:
             self._commit_sharded()

@@ -450,3 +450,36 @@ def test_pool_rejected_seed_does_not_leak_lane():
                    seed_levels=np.zeros((2, 16), np.int64))  # 2 lanes
     lane = pool.start(cond=cond)          # slot was never consumed
     assert lane == 0 and pool.active == {0}
+
+
+def test_pool_join_is_one_shared_executable():
+    """Joins are ONE fused dispatch (_pool_join) and every join on any
+    lane/epoch shares one executable per argument-structure variant —
+    the traced-lane-index property that keeps high-churn pools off the
+    compile path (a python-int lane would compile per lane index)."""
+    from samplernn_pase_tpu import serve as sv
+
+    cfg = SampleRNNConfig(frame_sizes=(4, 2), dim=16, embed_dim=8,
+                          cond_dim=4, cond_rate=8, n_speakers=3,
+                          compute_dtype="float32")
+    params = _mk(cfg)
+    pool = StreamPool(params, cfg, n_lanes=4, temperature=0.9,
+                      key=jax.random.PRNGKey(0), max_cond_frames=16)
+    emb = np.zeros((4, cfg.cond_dim), np.float32)
+    before = sv._pool_join._cache_size()
+    # churn across different lanes, claim epochs, and speakers: the
+    # derived-key variant must stay one executable
+    for i in range(6):
+        lane = pool.start(cond=emb, speaker=i % 3)
+        pool.emit(cfg.lookback)
+        pool.stop(lane)
+    derived = sv._pool_join._cache_size() - before
+    assert derived <= 1, f"derived-key joins retraced: {derived} entries"
+    # a caller-pinned stream key is a different pytree structure — at
+    # most one more executable, shared across its own lanes/epochs too
+    for i in range(3):
+        lane = pool.start(cond=emb, speaker=0,
+                          stream_key=jax.random.PRNGKey(7 + i))
+        pool.stop(lane)
+    total = sv._pool_join._cache_size() - before
+    assert total <= 2, f"pinned-key joins retraced: {total} entries"
