@@ -224,7 +224,11 @@ def _kernel_scratch_bytes(cfg, n_seqs: int) -> int:
     f1 = cfg.frame_sizes[0]
     slot = max(cfg.embed_dim, cfg.q_levels)
     return (n_seqs * f1 * cfg.dim * 4            # hoisted cond rows
-            + f1 * n_seqs * cfg.q_levels * 4     # per-frame gumbel
+            # per-frame gumbel: budget the host-noise double buffer
+            # (2 slots) even for the on-core-PRNG path — the extra
+            # ~f1*B*q*4 bytes are noise vs the 100+ MiB budget and keep
+            # one routing answer across noise modes
+            + 2 * f1 * n_seqs * cfg.q_levels * 4
             + n_seqs * 2 * f1 * slot * _wt_itemsize(cfg))  # embed ring
 
 

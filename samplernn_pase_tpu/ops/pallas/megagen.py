@@ -118,7 +118,8 @@ def _onehot_col(levels_col, n_levels, dtype):
 
 def _kernel(frame_sizes, n_top, q_levels, deterministic, cond_rate,
             rnn_type, n_rnn, use_ring, fused_embed, stream_top,
-            host_noise, ablate_chain, seed_ref, temp_ref, *refs):
+            host_noise, double_buf, ablate_chain, seed_ref, temp_ref,
+            *refs):
     # VMEM scratch (tail of the ref list): per-frame hoisted cond rows,
     # per-frame gumbel noise, (ring mode) the embedded window,
     # (stream mode) the top-tier weight slot + its DMA semaphore, and
@@ -158,6 +159,10 @@ def _kernel(frame_sizes, n_top, q_levels, deterministic, cond_rate,
         # buffer lives in HBM (ANY) and one frame's [f1, B, q] block is
         # DMA'd into the gumbel scratch per bottom frame — a VMEM ref
         # would cap the buffer (B=128 x 1280-sample chunks = 167 MB).
+        # double_buf: the scratch is [2, f1, B, q] and frame i+1's block
+        # is prefetched while frame i computes (slot parity is STATIC —
+        # bottom-frames-per-top-frame is even, see the wrapper's gate),
+        # taking the ~2 MB/frame copy off the serial path.
         gnoise_ref = refs[0]
         refs = refs[1:]
     win_ref = refs[0]
@@ -263,9 +268,22 @@ def _kernel(frame_sizes, n_top, q_levels, deterministic, cond_rate,
         return _embed_col(col, embed, q_levels).astype(wmi_ref.dtype)
 
     _ablate_prev = [None]    # per-frame closure cell for ablate_chain
+    n_bottom_total = n_top * (lookback // f1)
 
-    def mlp_step(i, carry):
-        """use_ring: the embedded window lives in the ebuf scratch at
+    def _gum_dma(idx, slot):
+        """Copy descriptor for bottom frame ``idx``'s noise block into
+        double-buffer ``slot`` (static)."""
+        return pltpu.make_async_copy(
+            gnoise_ref.at[idx], gum_sc_ref.at[slot], gn_sem.at[slot])
+
+    def mlp_step(gslot, i, carry):
+        """``gslot``: the double_buf gumbel slot this frame reads (bound
+        via the two stable ``mlp_step_s`` partials — a PLAIN closure
+        cell would be invisible to lax.fori_loop's body-jaxpr cache,
+        which keys on the function object + avals and would replay
+        frame 0's slot for every frame).
+
+        use_ring: the embedded window lives in the ebuf scratch at
         E-aligned slots (one [B,E] write per step; the shifting form
         copies the whole [B, f1*E] window every step, ~16 MB/frame of
         pure VPU traffic). Slots: at step i the window is samples
@@ -307,6 +325,8 @@ def _kernel(frame_sizes, n_top, q_levels, deterministic, cond_rate,
                          preferred_element_type=jnp.float32) + bmo_ref[:]
         if deterministic:
             scores = logits
+        elif double_buf:
+            scores = logits + temp * gum_sc_ref[gslot, i]
         else:
             scores = logits + temp * gum_sc_ref[i]
         sample = jnp.argmax(scores, axis=-1,
@@ -340,6 +360,12 @@ def _kernel(frame_sizes, n_top, q_levels, deterministic, cond_rate,
         block = jnp.concatenate([block[:, 1:], sample], axis=1)
         return (partial_next, new_emb, emb_win_next, block)
 
+    # Stable per-slot body objects: fori_loop's body-jaxpr cache keys on
+    # the function object + carry avals, so these two partials yield at
+    # most two traces total (slot 0 / slot 1) across all bottom frames.
+    mlp_step_s = (functools.partial(mlp_step, 0),
+                  functools.partial(mlp_step, 1))
+
     def decode(k, upper, pos, ctx):
         """Decode one tier-k frame (spans[k] samples). ctx: dict with
         'h' (list of states), 'emb_win', 'top_frame' (traced). Returns
@@ -366,8 +392,23 @@ def _kernel(frame_sizes, n_top, q_levels, deterministic, cond_rate,
             h_bf = ctx["h"][0][-1][0].astype(wup.dtype)
             cond_sc_ref[:] = jnp.dot(h_bf, wup[:],
                                      preferred_element_type=jnp.float32)
+            gslot = 0
             if not deterministic:
-                if host_noise:
+                if host_noise and double_buf:
+                    # this frame's block was prefetched during the
+                    # previous frame (warmup for frame 0); kick off the
+                    # NEXT frame's copy into the other slot before
+                    # waiting, then consume this one.  Slot parity is
+                    # static (ctx["b_i"] counts this top frame's
+                    # statically-unrolled bottom frames; frames-per-top
+                    # is even, so parity is position-in-frame parity).
+                    gslot = ctx["b_i"] % 2
+                    idx = pos // f1
+                    _gum_dma(jnp.minimum(idx + 1, n_bottom_total - 1),
+                             1 - gslot).start()
+                    _gum_dma(idx, gslot).wait()
+                    ctx["b_i"] += 1
+                elif host_noise:
                     cp = pltpu.make_async_copy(
                         gnoise_ref.at[pos // f1], gum_sc_ref, gn_sem)
                     cp.start()
@@ -382,7 +423,7 @@ def _kernel(frame_sizes, n_top, q_levels, deterministic, cond_rate,
                 _ablate_prev[0] = prev
             (ctx["partial"], ctx["prev_emb"], ctx["emb_win"],
              block) = jax.lax.fori_loop(
-                0, f1, mlp_step,
+                0, f1, mlp_step_s[gslot],
                 (ctx["partial"], ctx["prev_emb"], ctx["emb_win"], prev))
             if use_ring:
                 # slide the window back to slots [0, f1) for next frame
@@ -408,6 +449,10 @@ def _kernel(frame_sizes, n_top, q_levels, deterministic, cond_rate,
             "emb_win": emb_win,
             # tails of the previous top frame seed every tier's window
             "last": [top_frame[:, lookback - s:] for s in spans],
+            # static bottom-frame counter within this top frame (the
+            # double_buf slot parity; frames-per-top is even so the
+            # parity sequence is identical for every top frame)
+            "b_i": 0,
         }
         new_frame = decode(k_tiers - 1, None, t * lookback, ctx)
         out_ref[t] = new_frame
@@ -432,7 +477,14 @@ def _kernel(frame_sizes, n_top, q_levels, deterministic, cond_rate,
                        preferred_element_type=jnp.float32)
     init = (partial0, prev_emb0, emb_win0, win_ref[:],
             tuple(tuple(h[:] for h in tier) for tier in h_refs))
+    if host_noise and double_buf and not deterministic:
+        _gum_dma(0, 0).start()           # warm up frame 0's block
     _, _, _, _, h_fin = jax.lax.fori_loop(0, n_top, top_body, init)
+    if host_noise and double_buf and not deterministic:
+        # drain the one outstanding prefetch (the clamped duplicate of
+        # the final block, started by the last frame; n_bottom_total is
+        # even, so it landed in slot 0)
+        _gum_dma(0, n_bottom_total % 2).wait()
     for k in range(k_tiers):
         for i in range(n_rnn):
             hout_refs[k][i][:] = h_fin[k][i]
@@ -565,9 +617,16 @@ def generate_full_pallas(window, states, temperature, seed, tiers, mlp, *,
     # ring-buffered window needs slot-aligned (128-lane) dynamic column
     # offsets; small-slot test configs use the shifting fallback
     use_ring = (slot_w % 128 == 0)
+    # host-noise double buffering: prefetch frame i+1's gumbel block
+    # while frame i computes.  Requires an even bottom-frames-per-top
+    # count so the ping-pong slot parity is STATIC across the top-frame
+    # fori_loop (true for every real config: prod(frame_sizes[1:]) is
+    # even); odd counts keep the synchronous single-buffer copy.
+    double_buf = host_noise and (lookback // f1) % 2 == 0
     scratch = [
         pltpu.VMEM((b, f1 * hdim), jnp.float32),      # hoisted cond rows
-        pltpu.VMEM((f1, b, q_levels), jnp.float32),   # per-frame gumbel
+        pltpu.VMEM((2, f1, b, q_levels) if double_buf
+                   else (f1, b, q_levels), jnp.float32),  # gumbel
     ]
     if use_ring:
         scratch.append(pltpu.VMEM((b, 2 * f1 * slot_w), wt))
@@ -589,15 +648,17 @@ def generate_full_pallas(window, states, temperature, seed, tiers, mlp, *,
             (hdim, max(gates_n, frame_sizes[-1]) * hdim), wt))
         scratch.append(pltpu.SemaphoreType.DMA(()))
     if host_noise:
-        # gumbel buffer stays in HBM; DMA'd per bottom frame
+        # gumbel buffer stays in HBM; DMA'd per bottom frame (two
+        # semaphores when double-buffered, one per ping-pong slot)
         gn_i = (n_smem + (k + 1 if cond_rate else 0))
         in_specs[gn_i] = pl.BlockSpec(memory_space=pl.ANY)
-        scratch.append(pltpu.SemaphoreType.DMA(()))
+        scratch.append(pltpu.SemaphoreType.DMA((2,) if double_buf
+                                               else ()))
     outs = pl.pallas_call(
         functools.partial(_kernel, frame_sizes, n_top, q_levels,
                           deterministic, cond_rate, rnn_type, n_rnn,
                           use_ring, fused_embed, stream_top, host_noise,
-                          ablate_chain),
+                          double_buf, ablate_chain),
         out_shape=(
             jax.ShapeDtypeStruct((n_top, b, lookback), jnp.int32),
             *(jax.ShapeDtypeStruct((n_state, b, hdim), jnp.float32)

@@ -2,6 +2,7 @@
 real-TPU path is exercised by bench.py on the dev chip)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -464,16 +465,20 @@ def test_megakernel_stream_top_ring_buffer_matches_resident():
         np.testing.assert_array_equal(a, b_)
 
 
-def test_megakernel_sampled_host_noise_rescoring():
+@pytest.mark.parametrize("frame_sizes", [(4, 2), (4, 3)])
+def test_megakernel_sampled_host_noise_rescoring(frame_sizes):
     """Sampled (temperature>0) megakernel decode in interpret mode via a
     host-supplied Gumbel buffer: every emitted sample must equal
     argmax(teacher-forced logits + temp * gumbel) over the emitted
     history (f32 exact) — the CI-side proof of the sampling path the
-    on-core PRNG covers on hardware."""
+    on-core PRNG covers on hardware.  (4, 2) has an EVEN
+    bottom-frames-per-top count and takes the double-buffered
+    gumbel-DMA prefetch; (4, 3) is odd and pins the synchronous
+    single-buffer fallback."""
     from samplernn_pase_tpu.ops.pallas.megagen import generate_full_pallas
     from samplernn_pase_tpu.ops.mulaw import quantize_zero
 
-    cfg = SampleRNNConfig(frame_sizes=(4, 2), dim=16, embed_dim=8,
+    cfg = SampleRNNConfig(frame_sizes=frame_sizes, dim=16, embed_dim=8,
                           compute_dtype="float32")
     params = samplernn.init_params(jax.random.PRNGKey(3), cfg)
     b, n_top, temp = 2, 3, 0.8
