@@ -465,20 +465,25 @@ def test_megakernel_stream_top_ring_buffer_matches_resident():
         np.testing.assert_array_equal(a, b_)
 
 
-@pytest.mark.parametrize("frame_sizes", [(4, 2), (4, 3)])
-def test_megakernel_sampled_host_noise_rescoring(frame_sizes):
+@pytest.mark.parametrize("frame_sizes,rnn_type,n_rnn", [
+    ((4, 2), "gru", 1),      # even bottom-frames-per-top: double-buffered
+    ((4, 3), "gru", 1),      # odd: synchronous single-buffer fallback
+    ((4, 2, 2), "lstm", 2),  # prefetch parity across the statically
+                             # unrolled middle tier + stacked cells
+])
+def test_megakernel_sampled_host_noise_rescoring(frame_sizes, rnn_type,
+                                                 n_rnn):
     """Sampled (temperature>0) megakernel decode in interpret mode via a
     host-supplied Gumbel buffer: every emitted sample must equal
     argmax(teacher-forced logits + temp * gumbel) over the emitted
     history (f32 exact) — the CI-side proof of the sampling path the
-    on-core PRNG covers on hardware.  (4, 2) has an EVEN
-    bottom-frames-per-top count and takes the double-buffered
-    gumbel-DMA prefetch; (4, 3) is odd and pins the synchronous
-    single-buffer fallback."""
+    on-core PRNG covers on hardware, and of the gumbel-DMA
+    double-buffer's slot/index math at both parities."""
     from samplernn_pase_tpu.ops.pallas.megagen import generate_full_pallas
     from samplernn_pase_tpu.ops.mulaw import quantize_zero
 
     cfg = SampleRNNConfig(frame_sizes=frame_sizes, dim=16, embed_dim=8,
+                          rnn_type=rnn_type, n_rnn=n_rnn,
                           compute_dtype="float32")
     params = samplernn.init_params(jax.random.PRNGKey(3), cfg)
     b, n_top, temp = 2, 3, 0.8
