@@ -18,6 +18,10 @@ steps=(
   "dryrun:python -c 'import __graft_entry__ as g; g.dryrun_multichip(8); print(\"DRYRUN OK\")'"
 )
 
+# Run ALL steps even if one fails: a marginal perf-floor miss must not
+# block bench.py (the metric of record) from running and warming the
+# persistent compile cache for the driver's own bench invocation.
+failed=()
 for entry in "${steps[@]}"; do
   name="${entry%%:*}"; cmd="${entry#*:}"
   log="/tmp/recert_${name}.log"
@@ -25,8 +29,13 @@ for entry in "${steps[@]}"; do
   if ! timeout 7200 bash -c "$cmd" > "$log" 2>&1; then
     echo "FAILED: ${name} (rc=$?) — see ${log}"
     tail -5 "$log"
-    exit 1
+    failed+=("$name")
+    continue
   fi
   tail -2 "$log"
 done
+if [ "${#failed[@]}" -gt 0 ]; then
+  echo "RECERT SWEEP FINISHED WITH FAILURES: ${failed[*]} ($(date -u +%H:%M:%S))"
+  exit 1
+fi
 echo "RECERT SWEEP COMPLETE ($(date -u +%H:%M:%S))"
