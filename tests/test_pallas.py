@@ -465,14 +465,16 @@ def test_megakernel_stream_top_ring_buffer_matches_resident():
         np.testing.assert_array_equal(a, b_)
 
 
-@pytest.mark.parametrize("frame_sizes,rnn_type,n_rnn", [
-    ((4, 2), "gru", 1),      # even bottom-frames-per-top: double-buffered
-    ((4, 3), "gru", 1),      # odd: synchronous single-buffer fallback
-    ((4, 2, 2), "lstm", 2),  # prefetch parity across the statically
-                             # unrolled middle tier + stacked cells
+@pytest.mark.parametrize("frame_sizes,rnn_type,n_rnn,stream_top", [
+    ((4, 2), "gru", 1, False),   # even bottom-frames-per-top: prefetched
+    ((4, 3), "gru", 1, False),   # odd: synchronous single-buffer fallback
+    ((4, 2, 2), "lstm", 2, False),  # prefetch parity across the statically
+                                    # unrolled middle tier + stacked cells
+    ((4, 2, 2), "lstm", 1, True),   # gumbel prefetch interleaved with the
+                                    # HBM-streamed top tier's weight DMA
 ])
 def test_megakernel_sampled_host_noise_rescoring(frame_sizes, rnn_type,
-                                                 n_rnn):
+                                                 n_rnn, stream_top):
     """Sampled (temperature>0) megakernel decode in interpret mode via a
     host-supplied Gumbel buffer: every emitted sample must equal
     argmax(teacher-forced logits + temp * gumbel) over the emitted
@@ -498,7 +500,7 @@ def test_megakernel_sampled_host_noise_rescoring(frame_sizes, rnn_type,
         window, states, temp, jnp.int32(0), list(params["tiers"]),
         params["mlp"], n_top=n_top, q_levels=cfg.q_levels,
         deterministic=False, interpret=True, rnn_type=cfg.rnn_type,
-        weights_dtype="float32", gumbel=gum)
+        weights_dtype="float32", gumbel=gum, stream_top=stream_top)
     emitted = np.asarray(jnp.moveaxis(blocks, 0, 1).reshape(
         b, n_top * lookback))
     # teacher-forced logits over the emitted history
