@@ -2,9 +2,13 @@
 # Full hardware re-certification sweep, in dependency order.
 # Run from /root/repo with NO PYTHONPATH (it breaks the TPU plugin);
 # one JAX process at a time — this script is strictly sequential.
-# Each step logs to /tmp/recert_<step>.log and the sweep stops on the
-# first failure. Expected wall time: 30-60 min warm cache, up to ~2 h
-# cold (megakernel compiles are 3-6 min each through the tunnel).
+# Each step logs to /tmp/recert_<step>.log. A failed step does NOT
+# stop the sweep (a marginal perf-floor miss must not block bench.py,
+# the metric of record, from running and warming the persistent
+# compile cache) — but if the TPU becomes unreachable after a failure,
+# the remaining steps are aborted instead of serially hanging into
+# their 2 h timeouts. Expected wall time: 30-60 min warm cache, up to
+# ~2 h cold (megakernel compiles are 3-6 min each through the tunnel).
 set -u
 cd "$(dirname "$0")/.."
 
@@ -18,18 +22,31 @@ steps=(
   "dryrun:python -c 'import __graft_entry__ as g; g.dryrun_multichip(8); print(\"DRYRUN OK\")'"
 )
 
-# Run ALL steps even if one fails: a marginal perf-floor miss must not
-# block bench.py (the metric of record) from running and warming the
-# persistent compile cache for the driver's own bench invocation.
+tpu_reachable() {
+  timeout 150 python -c "
+from samplernn_pase_tpu.utils.tpu_guard import tpu_available
+import sys
+sys.exit(0 if tpu_available(timeout_s=60, retries=0) else 1)" 2>/dev/null
+}
+
 failed=()
 for entry in "${steps[@]}"; do
   name="${entry%%:*}"; cmd="${entry#*:}"
   log="/tmp/recert_${name}.log"
   echo "== ${name} -> ${log} ($(date -u +%H:%M:%S))"
-  if ! timeout 7200 bash -c "$cmd" > "$log" 2>&1; then
-    echo "FAILED: ${name} (rc=$?) — see ${log}"
+  timeout 7200 bash -c "$cmd" > "$log" 2>&1
+  rc=$?
+  if [ "$rc" -ne 0 ]; then
+    echo "FAILED: ${name} (rc=${rc}$([ "$rc" -eq 124 ] && echo ', timed out')) — see ${log}"
     tail -5 "$log"
     failed+=("$name")
+    # A dead tunnel relay makes every later JAX step hang to its 2 h
+    # timeout; re-probe and abort the cascade if the chip is gone.
+    if ! tpu_reachable; then
+      echo "TPU UNREACHABLE after ${name} — aborting remaining steps ($(date -u +%H:%M:%S))"
+      failed+=("tpu_lost")
+      break
+    fi
     continue
   fi
   tail -2 "$log"
