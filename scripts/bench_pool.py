@@ -23,6 +23,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
@@ -44,11 +45,17 @@ def run_pool(params, cfg, n_lanes, rng, chunk=1280):
         pool.stop(lane)
     lanes = [pool.start(cond=conds[i]) for i in range(n_lanes)]
 
-    times, prev = [], None
+    times, prev, join_ms = [], None, None
     for i in range(N_CHUNKS):
         if i == N_CHUNKS // 2:            # lifecycle churn mid-run
             pool.stop(lanes[-1])
+            # time the fused join dispatch itself (serve._pool_join is
+            # ONE jitted program; the drain includes a tunnel RTT, so
+            # on a remote-attached host this reads as RTT + join)
+            t0j = time.perf_counter()
             lanes[-1] = pool.start(cond=conds[n_lanes])
+            np.asarray(jnp.sum(pool.hist))      # dependent-scalar sync
+            join_ms = (time.perf_counter() - t0j) * 1e3
         t0 = time.perf_counter()
         cur = pool.emit(chunk)
         if prev is not None:
@@ -62,6 +69,7 @@ def run_pool(params, cfg, n_lanes, rng, chunk=1280):
         "metric": f"pool_serving_n{n_lanes}_chunk{chunk}",
         "median_ms_per_chunk": round(float(np.median(ms)), 2),
         "worst_ms": round(float(ms.max()), 2),
+        "join_ms": round(float(join_ms), 2),
         "per_stream_realtime_x": round(chunk_ms / float(np.median(ms)), 2),
         "aggregate_realtime_x": round(
             n_lanes * chunk_ms / float(np.median(ms)), 1),
