@@ -37,6 +37,51 @@ _PROBE = (
 
 _RETRIED_ENV = "_SRNN_TPU_GUARD_RETRIED"
 
+# One JAX process at a time on this box: concurrent backend init HANGS.
+# Long-running JAX jobs advertise themselves via these lock files (the
+# auto-recert sweep heartbeats /tmp/recert_running; interactive
+# sessions touch /tmp/jax_busy.lock) so a driver script arriving
+# mid-job waits its turn instead of timing out its probe and reporting
+# a false outage.  Holders are expected to re-touch their lock (the
+# recert sweep does, every 60 s); a lock whose mtime goes stale is
+# treated as abandoned and ignored.
+_BOX_LOCKS = ("/tmp/recert_running", "/tmp/jax_busy.lock")
+_LOCK_EXEMPT_ENV = "SRNN_BOX_LOCK_EXEMPT"
+
+
+def wait_for_box_idle(max_wait_s: float = 2400.0, fresh_s: float = 300.0,
+                      poll_s: float = 15.0, locks=_BOX_LOCKS) -> float:
+    """Bounded wait while another JAX job advertises it holds this box.
+
+    Returns the seconds waited.  Exempt (returns immediately) when
+    ``SRNN_BOX_LOCK_EXEMPT=1`` — the recert sweep sets this for its own
+    steps, which would otherwise deadlock on the sweep's own lock."""
+    if os.environ.get(_LOCK_EXEMPT_ENV) == "1":
+        return 0.0
+
+    def _live():
+        now = time.time()
+        out = []
+        for p in locks:
+            try:
+                if now - os.path.getmtime(p) < fresh_s:
+                    out.append(p)
+            except OSError:
+                pass
+        return out
+
+    t0 = time.time()
+    held = _live()
+    if held:
+        # stdout is the driver's parse surface (one JSON line) — notes
+        # go to stderr
+        print(f"tpu_guard: box busy ({', '.join(held)}); waiting up to "
+              f"{max_wait_s:.0f}s", file=sys.stderr)
+    while held and time.time() - t0 < max_wait_s:
+        time.sleep(poll_s)
+        held = _live()
+    return time.time() - t0
+
 
 def _probe_once(timeout_s: float):
     """Run the probe subprocess once. Returns (ok, transient): ok when
@@ -134,7 +179,14 @@ def run_guarded(body, retry_wait_s: float = 45.0) -> int:
       failure with a live relay is the documented post-release
       transient, not a code regression);
     * anything else raises normally (a real regression should be rc 1).
+
+    Before probing, waits (bounded) for any advertised box-busy lock —
+    most importantly the auto-recert sweep: if the tunnel relay returns
+    shortly before the driver's round-end bench run, the sweep holds
+    the chip for 30-60 min and a concurrent probe would time out and
+    record a false "tpu_unavailable" skip.
     """
+    wait_for_box_idle()
     if not tpu_available():
         print(skip_marker())
         return 0

@@ -12,6 +12,18 @@
 set -u
 cd "$(dirname "$0")/.."
 
+# Advertise the sweep to other driver scripts (tpu_guard waits on a
+# FRESH /tmp/recert_running instead of probing into a busy chip and
+# reporting a false outage), heartbeat-touching it every 60 s so a
+# killed sweep's stale lock is ignored. Our own steps are exempted
+# from the wait or they would deadlock on this very lock.
+LOCK=/tmp/recert_running
+touch "$LOCK"
+( while true; do touch "$LOCK" 2>/dev/null; sleep 60; done ) &
+HB_PID=$!
+trap 'kill "$HB_PID" 2>/dev/null; rm -f "$LOCK"' EXIT
+export SRNN_BOX_LOCK_EXEMPT=1
+
 steps=(
   "tpu_check:python scripts/tpu_check.py"
   "perf_floor:python scripts/perf_floor.py"

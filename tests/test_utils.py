@@ -41,6 +41,58 @@ def test_pin_reachable_platform_leaves_tpu_selection(monkeypatch):
     assert jax.config.jax_platforms == before
 
 
+def test_wait_for_box_idle_no_locks(tmp_path):
+    """An idle box (no lock files) returns immediately."""
+    from samplernn_pase_tpu.utils import tpu_guard
+
+    waited = tpu_guard.wait_for_box_idle(
+        max_wait_s=5.0, poll_s=0.05,
+        locks=(str(tmp_path / "absent.lock"),))
+    assert waited < 1.0
+
+
+def test_wait_for_box_idle_waits_for_fresh_lock(tmp_path):
+    """A freshly-touched lock (the recert sweep's heartbeat) makes the
+    guard wait — bounded by max_wait_s, so a stuck holder can't block
+    the driver's bench forever."""
+    from samplernn_pase_tpu.utils import tpu_guard
+
+    lock = tmp_path / "recert_running"
+    lock.touch()
+    waited = tpu_guard.wait_for_box_idle(
+        max_wait_s=0.3, poll_s=0.05, locks=(str(lock),))
+    assert waited >= 0.3
+
+
+def test_wait_for_box_idle_ignores_stale_lock(tmp_path):
+    """A lock whose heartbeat stopped (old mtime) is abandoned — e.g.
+    the box killed a sweep mid-run — and must not delay the probe."""
+    import os
+
+    from samplernn_pase_tpu.utils import tpu_guard
+
+    lock = tmp_path / "recert_running"
+    lock.touch()
+    old = 1_000_000.0
+    os.utime(lock, (old, old))
+    waited = tpu_guard.wait_for_box_idle(
+        max_wait_s=5.0, poll_s=0.05, fresh_s=300.0, locks=(str(lock),))
+    assert waited < 1.0
+
+
+def test_wait_for_box_idle_exempt_env(tmp_path, monkeypatch):
+    """Recert's own steps set SRNN_BOX_LOCK_EXEMPT=1 — without it they
+    would deadlock waiting on the sweep's own lock."""
+    from samplernn_pase_tpu.utils import tpu_guard
+
+    lock = tmp_path / "recert_running"
+    lock.touch()
+    monkeypatch.setenv(tpu_guard._LOCK_EXEMPT_ENV, "1")
+    waited = tpu_guard.wait_for_box_idle(
+        max_wait_s=5.0, poll_s=0.05, locks=(str(lock),))
+    assert waited == 0.0
+
+
 def test_step_timer_throughput():
     t = StepTimer(window=10)
     x = jnp.ones(8)
