@@ -500,6 +500,143 @@ def cmd_stream(args):
     mgr.close()
 
 
+def cmd_serve(args):
+    """Continuous-batching batch synthesis (serve.run_jobs): drain a
+    manifest of variable-length TTS jobs through a StreamPool — each
+    job runs for its OWN length and frees its lane to the next job at a
+    chunk boundary, so short utterances never wait for long ones the
+    way a fixed `generate` batch makes them. Writes one wav per job as
+    it completes plus a stats JSON."""
+    import json
+
+    import jax
+    from samplernn_pase_tpu import config as C
+    from samplernn_pase_tpu import generate as gen
+    from samplernn_pase_tpu import serve
+    from samplernn_pase_tpu.ops.audio_io import write_wav
+    from samplernn_pase_tpu.train.checkpoint import CheckpointManager
+
+    exp_dir = Path(args.ckpt)
+    exp = C.load_config(exp_dir / "config.json")
+    mgr = CheckpointManager(exp_dir / "ckpt")
+    restored = mgr.restore(step=_pick_step(args, mgr))
+    if restored is None:
+        sys.exit(f"no checkpoint under {exp_dir}/ckpt")
+    params, joint_encoder = _split_restored(exp, restored)
+    mgr.close()
+    gcfg = exp.generate
+    sr = gcfg.sample_rate
+    lb = exp.model.lookback
+    chunk = -(-int(sr * (args.chunk_ms or 64) / 1000) // lb) * lb
+
+    entries = []
+    base = Path(".")
+    if args.jobs:
+        base = Path(args.jobs).parent
+        entries = json.loads(Path(args.jobs).read_text())
+        if not isinstance(entries, list):
+            sys.exit("--jobs: manifest must be a JSON list of job objects")
+    elif args.jobs_dir:
+        if not exp.model.cond_dim:
+            sys.exit("--jobs-dir synthesizes one job per embedding .npy; "
+                     "this checkpoint has no cond_dim — use --n/--length")
+        paths = sorted(Path(args.jobs_dir).rglob("*.npy"))
+        if not paths:
+            sys.exit(f"--jobs-dir: no .npy embeddings under {args.jobs_dir}")
+        entries = [{"id": p.stem, "cond": str(p),
+                    **({"speaker": args.speaker}
+                       if args.speaker is not None else {})}
+                   for p in paths]
+    elif args.n:
+        entries = [{"id": f"job_{i:03d}",
+                    "length": args.length or gcfg.length,
+                    **({"speaker": args.speaker}
+                       if args.speaker is not None else {})}
+                   for i in range(args.n)]
+    else:
+        sys.exit("serve needs a job source: --jobs MANIFEST.json, "
+                 "--jobs-dir DIR, or --n N")
+
+    def _path(v):
+        q = Path(v)
+        return q if q.is_absolute() else base / q
+
+    jobs = []
+    for i, e in enumerate(entries):
+        if not isinstance(e, dict):
+            sys.exit(f"--jobs: entry {i} is not an object: {e!r}")
+        job = {"id": e.get("id", i)}
+        cond = None
+        if e.get("cond") is not None:
+            cond = np.load(_path(e["cond"]))
+        elif e.get("cond_wav") is not None:
+            cond = np.asarray(_embed_wav(
+                _path(e["cond_wav"]), exp.pase or C.PASEConfig(),
+                joint_encoder, args.pase_ckpt))
+        if cond is not None:
+            if not exp.model.cond_dim:
+                sys.exit(f"job {job['id']!r} has conditioning but the "
+                         "model was trained without cond_dim")
+            if cond.ndim != 2 or cond.shape[1] != exp.model.cond_dim:
+                sys.exit(f"job {job['id']!r}: expected [frames, "
+                         f"{exp.model.cond_dim}] embedding, got "
+                         f"{cond.shape}")
+            job["cond"] = cond
+        if e.get("length") is not None:
+            job["n_samples"] = int(e["length"])
+        elif e.get("seconds") is not None:
+            job["n_samples"] = int(float(e["seconds"]) * sr)
+        elif cond is None:
+            job["n_samples"] = gcfg.length
+        if e.get("speaker") is not None:
+            job["speaker"] = int(e["speaker"])
+        if e.get("seed_wav") is not None:
+            from samplernn_pase_tpu.data.dataset import _quantize_host
+            from samplernn_pase_tpu.ops.audio_io import read_wav, resample
+            x, in_sr = read_wav(_path(e["seed_wav"]))
+            if in_sr != sr:
+                x = resample(x, in_sr, sr)
+            job["seed_levels"] = _quantize_host(
+                x, exp.model.q_levels, exp.model.codec)
+            if exp.model.cond_dim and (joint_encoder is not None
+                                       or args.pase_ckpt):
+                job["seed_cond"] = np.asarray(_embed_wav(
+                    _path(e["seed_wav"]), exp.pase or C.PASEConfig(),
+                    joint_encoder, args.pase_ckpt))
+        if e.get("stream_key") is not None:
+            job["stream_key"] = jax.random.PRNGKey(int(e["stream_key"]))
+        jobs.append(job)
+
+    out = Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+
+    def _fname(jid):
+        return f"{jid}.wav" if isinstance(jid, str) else f"job_{jid:03d}.wav"
+
+    def on_done(jid, levels):
+        wav = np.asarray(gen.decode_waveform(levels, exp.model))
+        write_wav(out / _fname(jid), wav, sr)
+
+    temp = args.temperature if args.temperature is not None \
+        else gcfg.temperature
+    results, stats = serve.run_jobs(
+        params, exp.model, jobs, n_lanes=args.lanes,
+        chunk=chunk, temperature=temp or None,
+        key=jax.random.PRNGKey(args.seed if args.seed is not None
+                               else gcfg.seed),
+        on_done=on_done)
+    stats["sample_rate"] = sr
+    stats["realtime_x"] = round(
+        stats["generated"] / max(stats["wall_s"], 1e-9) / sr, 2)
+    (out / "serve_stats.json").write_text(json.dumps(stats, indent=1))
+    print(f"[serve] {stats['jobs']} jobs over {stats['lanes']} lanes in "
+          f"{stats['chunks']} chunks ({stats['wall_s']:.2f}s, "
+          f"{stats['realtime_x']}x realtime aggregate, utilization "
+          f"{stats['utilization']:.2f}); wrote {len(results)} wavs to "
+          f"{out}", file=sys.stderr)
+    print(json.dumps(stats))
+
+
 def _pick_step(args, mgr):
     """--step N > --best (lowest recorded val NLL) > latest."""
     if getattr(args, "step", None) is not None:
@@ -798,6 +935,40 @@ def main(argv=None):
     ps.add_argument("--best", action="store_true")
     ps.add_argument("--step", type=int)
     ps.set_defaults(fn=cmd_stream)
+
+    pj = sub.add_parser(
+        "serve",
+        help="continuous-batching batch synthesis: drain a manifest of "
+             "variable-length jobs through a StreamPool")
+    pj.add_argument("--ckpt", required=True, help="experiment dir")
+    pj.add_argument("--out", required=True, help="output directory")
+    pj.add_argument("--jobs",
+                    help="JSON manifest: a list of objects with optional "
+                         "id, length (samples) / seconds, cond (.npy), "
+                         "cond_wav, speaker, seed_wav, stream_key (int); "
+                         "relative paths resolve against the manifest")
+    pj.add_argument("--jobs-dir", dest="jobs_dir",
+                    help="one conditioned job per *.npy embedding under "
+                         "this directory (length = the utterance's own "
+                         "cond duration)")
+    pj.add_argument("--n", type=int,
+                    help="N unconditioned jobs of --length samples")
+    pj.add_argument("--length", type=int,
+                    help="samples per job for --n (default: config)")
+    pj.add_argument("--lanes", type=int, default=8,
+                    help="pool lanes (resident batch size; default 8)")
+    pj.add_argument("--chunk-ms", dest="chunk_ms", type=float,
+                    default=None, help="audio per dispatch (default 64 ms)")
+    pj.add_argument("--temperature", type=float)
+    pj.add_argument("--seed", type=int)
+    pj.add_argument("--speaker", type=int,
+                    help="speaker id applied to --n/--jobs-dir jobs")
+    pj.add_argument("--pase-ckpt", dest="pase_ckpt",
+                    help="torch PASE ckpt for cond_wav/seed_wav entries "
+                         "on non-joint experiments")
+    pj.add_argument("--best", action="store_true")
+    pj.add_argument("--step", type=int)
+    pj.set_defaults(fn=cmd_serve)
 
     pv = sub.add_parser("evaluate",
                         help="held-out NLL (bits/sample) of a checkpoint")

@@ -474,3 +474,141 @@ class StreamPool:
 
     def emit_waveform(self, n_samples: int):
         return gen.decode_waveform(self.emit(n_samples), self.cfg)
+
+
+def run_jobs(params, cfg: SampleRNNConfig, jobs, *, n_lanes: int,
+             chunk: int | None = None, temperature: float | None = 1.0,
+             key=None, use_pallas: bool | str | None = None,
+             max_cond_frames: int = 1024, mesh=None,
+             enqueue_ahead: bool = True, on_done=None):
+    """Continuous-batching batch synthesis: drain a list of
+    variable-length jobs through one :class:`StreamPool`.
+
+    This is the pool's production use case as one call: ``n_lanes``
+    decode lanes advance in lock-step (one device dispatch per chunk
+    for all lanes); each job claims a free lane, runs for its OWN
+    requested length, and releases the slot to the next job at a chunk
+    boundary — no lane ever waits for the longest utterance in a
+    "batch" the way fixed-batch ``generate`` does.
+
+    Because every job's length is known at ``start()``, the whole
+    join/leave schedule is deterministic in chunk indices — so the loop
+    can run ENQUEUE-AHEAD (dispatch chunk t+1 before materializing
+    chunk t; joins are race-free because start()/stop() build new state
+    arrays, see the class docstring) without waiting on any output to
+    make scheduling decisions.
+
+    jobs: iterable of dicts with keys (all optional unless noted):
+      ``id``          hashable result key       (default: the index)
+      ``n_samples``   samples to generate — REQUIRED unless ``cond``
+                      is given, in which case it defaults to
+                      ``cond_rows * cfg.cond_rate`` (the utterance's
+                      natural TTS length)
+      ``cond``        [frames, cond_dim] conditioning stream
+      ``speaker``     int id (required iff the model has n_speakers)
+      ``seed_levels`` [L] int prompt the lane continues (n_samples
+                      counts only the GENERATED continuation)
+      ``seed_cond``   [frames, cond_dim] rows covering the seed
+      ``stream_key``  PRNG key pinning this job's sampling noise (a
+                      solo ``StreamingGenerator(stream_keys=key)``
+                      reproduces the job bit-for-bit)
+
+    Returns ``(results, stats)``: results maps id -> np.int32
+    [n_samples] quantized levels (decode with
+    :func:`~samplernn_pase_tpu.generate.decode_waveform`); stats has
+    ``chunks`` (device dispatches), ``chunk`` (samples per lane per
+    dispatch), ``generated`` (sum of requested samples),
+    ``utilization`` (requested / dispatched lane-samples — the
+    static-batch occupancy), and ``wall_s``. ``on_done(id, levels)``
+    fires as each job's last chunk materializes (streaming consumers).
+    """
+    import time
+
+    jobs = list(jobs)
+    chunk = int(chunk) if chunk else cfg.lookback
+    if chunk % cfg.lookback:
+        raise ValueError(
+            f"chunk ({chunk}) must be a multiple of lookback "
+            f"({cfg.lookback})")
+    queue = []                            # validated, reversed for pop()
+    for i, job in enumerate(jobs):
+        job = dict(job)
+        job.setdefault("id", i)
+        n = job.get("n_samples")
+        if n is None:
+            if job.get("cond") is None:
+                raise ValueError(
+                    f"job {job['id']!r}: n_samples is required when no "
+                    "cond stream is given")
+            n = int(np.shape(job["cond"])[0]) * cfg.cond_rate
+        if int(n) < 1:
+            raise ValueError(f"job {job['id']!r}: n_samples must be >= 1")
+        job["n_samples"] = int(n)
+        queue.append(job)
+    ids = [j["id"] for j in queue]
+    if len(set(ids)) != len(ids):
+        raise ValueError("job ids must be unique")
+    want = {j["id"]: j["n_samples"] for j in queue}
+    requested = sum(want.values())
+    queue.reverse()
+
+    pool = StreamPool(params, cfg, n_lanes=n_lanes,
+                      temperature=temperature, key=key,
+                      use_pallas=use_pallas,
+                      max_cond_frames=max_cond_frames, mesh=mesh)
+    results: dict = {}
+    pieces: dict = {}                    # id -> [np chunk, ...]
+    active: dict = {}                    # lane -> [id, remaining]
+    inflight: list = []                  # [(async levels, {lane: id})]
+    depth = 1 if enqueue_ahead else 0
+    n_chunks = 0
+
+    def _drain(entry):
+        levels, snapshot = entry
+        arr = np.asarray(levels)
+        for lane, jid in snapshot.items():
+            pieces[jid].append(arr[lane])
+            if jid not in results and sum(
+                    p.shape[0] for p in pieces[jid]) >= want[jid]:
+                out = np.concatenate(pieces.pop(jid))[:want[jid]]
+                results[jid] = out
+                if on_done is not None:
+                    on_done(jid, out)
+
+    t0 = time.perf_counter()
+    while queue or active:
+        while queue and len(pool.active) < pool.n:
+            job = queue.pop()
+            lane = pool.start(
+                cond=job.get("cond"), speaker=job.get("speaker"),
+                seed_levels=job.get("seed_levels"),
+                seed_cond=job.get("seed_cond"),
+                stream_key=job.get("stream_key"))
+            active[lane] = [job["id"], job["n_samples"]]
+            pieces[job["id"]] = []
+        snapshot = {lane: jid for lane, (jid, _) in active.items()}
+        levels = pool.emit(chunk)
+        n_chunks += 1
+        # lanes whose jobs complete with this chunk free their slot NOW
+        # (stop() is host bookkeeping; the dispatched chunk keeps the
+        # state it was enqueued with) so the next iteration's joins can
+        # reuse them without waiting for materialization
+        for lane in list(active):
+            active[lane][1] -= chunk
+            if active[lane][1] <= 0:
+                pool.stop(lane)
+                del active[lane]
+        inflight.append((levels, snapshot))
+        while len(inflight) > depth:
+            _drain(inflight.pop(0))
+    for entry in inflight:
+        _drain(entry)
+    stats = {
+        "jobs": len(jobs), "chunks": n_chunks, "chunk": chunk,
+        "lanes": n_lanes, "generated": requested,
+        "dispatched": n_chunks * chunk * n_lanes,
+        "utilization": (requested / (n_chunks * chunk * n_lanes)
+                        if n_chunks else 0.0),
+        "wall_s": time.perf_counter() - t0,
+    }
+    return results, stats

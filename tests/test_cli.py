@@ -654,3 +654,64 @@ def test_cli_platform_flag(wav_dir, tmp_path):
     with pytest.raises(SystemExit):
         cli.main(["--platform", "tpu", "extract", "--dataset",
                   str(wav_dir), "--out", str(tmp_path / "emb2")])
+
+
+def test_cli_serve_verb(wav_dir, tmp_path):
+    """`serve`: continuous-batching batch synthesis over a manifest —
+    variable-length jobs through one StreamPool, one wav per job, a
+    stats JSON, and greedy output identical to the `generate` verb's
+    (fresh-state greedy decode is scheduler-invariant)."""
+    from samplernn_pase_tpu import cli
+    exp = tmp_path / "exp"
+    cli.main([
+        "train", "--dataset", str(wav_dir), "--exp-dir", str(exp),
+        "--frame_sizes", "4", "2", "--dim", "16", "--embed_dim", "8",
+        "--batch_size", "2", "--seq_len", "256", "--epochs", "1",
+    ])
+    ref = tmp_path / "ref"
+    cli.main(["generate", "--ckpt", str(exp), "--out", str(ref),
+              "--n_seqs", "1", "--length", "128", "--temperature", "0"])
+    want, _ = read_wav(sorted(ref.glob("*.wav"))[0])
+
+    manifest = tmp_path / "jobs.json"
+    manifest.write_text(json.dumps([
+        {"id": "alpha", "length": 128},
+        {"length": 70},                       # id defaults to the index
+        {"id": "tiny", "seconds": 70 / 16_000},
+    ]))
+    out = tmp_path / "served"
+    cli.main(["serve", "--ckpt", str(exp), "--out", str(out),
+              "--jobs", str(manifest), "--lanes", "2",
+              "--chunk-ms", "4", "--temperature", "0"])
+    stats = json.loads((out / "serve_stats.json").read_text())
+    assert stats["jobs"] == 3 and stats["lanes"] == 2
+    assert 0 < stats["utilization"] <= 1.0
+    a, sr = read_wav(out / "alpha.wav")
+    assert sr == 16_000 and len(a) == 128
+    np.testing.assert_allclose(a, want, atol=2e-4)   # == generate verb
+    b, _ = read_wav(out / "job_001.wav")
+    t, _ = read_wav(out / "tiny.wav")
+    assert len(b) == 70 and len(t) == 70
+    np.testing.assert_allclose(b, t, atol=1e-6)      # same greedy prefix
+
+
+def test_cli_serve_n_jobs_and_validation(wav_dir, tmp_path):
+    from samplernn_pase_tpu import cli
+    exp = tmp_path / "exp"
+    cli.main([
+        "train", "--dataset", str(wav_dir), "--exp-dir", str(exp),
+        "--frame_sizes", "4", "2", "--dim", "16", "--embed_dim", "8",
+        "--batch_size", "2", "--seq_len", "256", "--epochs", "1",
+    ])
+    out = tmp_path / "served"
+    cli.main(["serve", "--ckpt", str(exp), "--out", str(out),
+              "--n", "3", "--length", "64", "--lanes", "2",
+              "--temperature", "0.9", "--seed", "1"])
+    wavs = sorted(out.glob("job_*.wav"))
+    assert len(wavs) == 3
+    assert all(len(read_wav(w)[0]) == 64 for w in wavs)
+    with pytest.raises(SystemExit):                  # no job source
+        cli.main(["serve", "--ckpt", str(exp), "--out", str(out)])
+    with pytest.raises(SystemExit):                  # unconditioned model
+        cli.main(["serve", "--ckpt", str(exp), "--out", str(out),
+                  "--jobs-dir", str(tmp_path)])

@@ -483,3 +483,120 @@ def test_pool_join_is_one_shared_executable():
         pool.stop(lane)
     total = sv._pool_join._cache_size() - before
     assert total <= 2, f"pinned-key joins retraced: {total} entries"
+
+
+# -- run_jobs: continuous-batching batch synthesis -----------------------
+
+def test_run_jobs_greedy_matches_solo_and_recycles_lanes():
+    """More jobs than lanes, varied lengths: every job's output equals
+    the solo greedy stream's prefix (fresh state per job), slots are
+    recycled, and lengths not divisible by the chunk are trimmed."""
+    from samplernn_pase_tpu.serve import run_jobs
+
+    cfg = SampleRNNConfig(frame_sizes=(4, 2), dim=16, embed_dim=8,
+                          compute_dtype="float32")
+    params = _mk(cfg, 20)
+    chunk = cfg.lookback                       # 8
+    lengths = [24, 8, 19, 40, 3]               # 19 and 3 need trimming
+    jobs = [{"id": f"j{i}", "n_samples": n}
+            for i, n in enumerate(lengths)]
+    done = []
+    results, stats = run_jobs(
+        params, cfg, jobs, n_lanes=2, chunk=chunk, temperature=None,
+        on_done=lambda jid, lv: done.append(jid))
+    solo = _solo(params, cfg, 5, chunk)
+    assert set(results) == {f"j{i}" for i in range(5)}
+    for i, n in enumerate(lengths):
+        got = results[f"j{i}"]
+        assert got.shape == (n,)
+        np.testing.assert_array_equal(got, solo[:n])
+    assert sorted(done) == sorted(results)
+    # chunk accounting: total lane-chunks = sum of each job's ceil
+    lane_chunks = sum(-(-n // chunk) for n in lengths)
+    assert stats["chunks"] >= -(-lane_chunks // 2)     # 2 lanes
+    assert 0 < stats["utilization"] <= 1.0
+    assert stats["generated"] == sum(lengths)
+
+
+def test_run_jobs_sampled_stream_keys_match_solo():
+    """Sampled jobs with pinned stream keys are pure functions of their
+    key — each equals a solo StreamingGenerator(stream_keys=key) no
+    matter which lane/order the scheduler gave them."""
+    from samplernn_pase_tpu.serve import run_jobs
+
+    cfg = SampleRNNConfig(frame_sizes=(4, 2), dim=16, embed_dim=8,
+                          compute_dtype="float32")
+    params = _mk(cfg, 21)
+    chunk = cfg.lookback * 2
+    jobs = [{"id": i, "n_samples": (i % 3 + 1) * chunk,
+             "stream_key": jax.random.PRNGKey(100 + i)}
+            for i in range(5)]
+    results, _ = run_jobs(params, cfg, jobs, n_lanes=2, chunk=chunk,
+                          temperature=0.9, key=jax.random.PRNGKey(1))
+    for i in range(5):
+        n = (i % 3 + 1) * chunk
+        want = _solo_sampled(params, cfg, n // chunk, chunk,
+                             jax.random.PRNGKey(100 + i), 0.9)
+        np.testing.assert_array_equal(results[i], want[:n])
+
+
+def test_run_jobs_conditioned_speakers_natural_length():
+    """Conditioned jobs default to their utterance's natural TTS length
+    (cond rows x cond_rate) and each equals its solo conditioned
+    stream; speakers ride per job."""
+    from samplernn_pase_tpu.serve import run_jobs
+
+    cfg = SampleRNNConfig(frame_sizes=(4, 2), dim=16, embed_dim=8,
+                          cond_dim=6, cond_rate=4, n_speakers=3,
+                          compute_dtype="float32")
+    params = _mk(cfg, 22)
+    chunk = cfg.lookback                       # 8; cond_rate 4 divides
+    rng = np.random.default_rng(5)
+    conds = [rng.normal(size=(f, 6)).astype(np.float32)
+             for f in (6, 2, 10)]
+    jobs = [{"id": k, "cond": c, "speaker": k % 3}
+            for k, c in enumerate(conds)]
+    results, stats = run_jobs(params, cfg, jobs, n_lanes=2, chunk=chunk,
+                              temperature=None)
+    for k, c in enumerate(conds):
+        n = c.shape[0] * cfg.cond_rate
+        assert results[k].shape == (n,)
+        want = _solo(params, cfg, -(-n // chunk), chunk, cond=c,
+                     speaker=k % 3)
+        np.testing.assert_array_equal(results[k], want[:n])
+    assert stats["generated"] == sum(c.shape[0] * 4 for c in conds)
+
+
+def test_run_jobs_enqueue_ahead_is_invisible():
+    """enqueue_ahead only changes when chunks materialize, never what
+    they contain."""
+    from samplernn_pase_tpu.serve import run_jobs
+
+    cfg = SampleRNNConfig(frame_sizes=(4, 2), dim=16, embed_dim=8,
+                          compute_dtype="float32")
+    params = _mk(cfg, 23)
+    jobs = [{"id": i, "n_samples": 16 + 8 * i,
+             "stream_key": jax.random.PRNGKey(i)} for i in range(4)]
+    kw = dict(n_lanes=2, chunk=cfg.lookback, temperature=1.1,
+              key=jax.random.PRNGKey(2))
+    a, _ = run_jobs(params, cfg, jobs, enqueue_ahead=True, **kw)
+    b, _ = run_jobs(params, cfg, jobs, enqueue_ahead=False, **kw)
+    for i in range(4):
+        np.testing.assert_array_equal(a[i], b[i])
+
+
+def test_run_jobs_validation():
+    from samplernn_pase_tpu.serve import run_jobs
+
+    cfg = SampleRNNConfig(frame_sizes=(4, 2), dim=16, embed_dim=8,
+                          compute_dtype="float32")
+    params = _mk(cfg, 24)
+    with pytest.raises(ValueError, match="n_samples is required"):
+        run_jobs(params, cfg, [{}], n_lanes=1)
+    with pytest.raises(ValueError, match="unique"):
+        run_jobs(params, cfg, [{"id": "x", "n_samples": 8},
+                               {"id": "x", "n_samples": 8}], n_lanes=1)
+    with pytest.raises(ValueError, match="multiple of lookback"):
+        run_jobs(params, cfg, [{"n_samples": 8}], n_lanes=1, chunk=3)
+    results, stats = run_jobs(params, cfg, [], n_lanes=2)
+    assert results == {} and stats["chunks"] == 0
