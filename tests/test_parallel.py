@@ -444,3 +444,30 @@ def test_stream_pool_sharded_matches_unsharded():
     want, lanes_u = run(None)
     assert lanes_s == lanes_u
     np.testing.assert_array_equal(got, want)
+
+
+def test_run_jobs_sharded_matches_unsharded():
+    """Multi-chip batch serving: serve.run_jobs over the mesh 'data'
+    axis (sharded pool lanes, continuous job churn across chunk
+    boundaries) returns bit-identical results to the unsharded run —
+    the whole deterministic join/leave schedule survives sharding."""
+    from samplernn_pase_tpu.serve import run_jobs
+
+    cfg = SampleRNNConfig(frame_sizes=(4, 2), dim=16, embed_dim=8,
+                          cond_dim=6, cond_rate=4, n_speakers=2,
+                          compute_dtype="float32")
+    params = samplernn.init_params(jax.random.PRNGKey(4), cfg)
+    mesh = pm.make_mesh((8,), ("data",))
+    rng = np.random.default_rng(7)
+    jobs = [{"id": i, "cond": rng.normal(size=(2 + 2 * i, 6)).astype(
+                 np.float32), "speaker": i % 2,
+             "stream_key": jax.random.PRNGKey(50 + i)}
+            for i in range(12)]                    # 12 jobs over 8 lanes
+    kw = dict(n_lanes=8, chunk=cfg.lookback, temperature=0.9,
+              key=jax.random.PRNGKey(0))
+    got, stats_s = run_jobs(params, cfg, jobs, mesh=mesh, **kw)
+    want, stats_u = run_jobs(params, cfg, jobs, **kw)
+    assert stats_s["chunks"] == stats_u["chunks"]
+    assert set(got) == set(want) == set(range(12))
+    for i in range(12):
+        np.testing.assert_array_equal(got[i], want[i])
