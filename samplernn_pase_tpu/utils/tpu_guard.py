@@ -49,29 +49,35 @@ _BOX_LOCKS = ("/tmp/recert_running", "/tmp/jax_busy.lock")
 _LOCK_EXEMPT_ENV = "SRNN_BOX_LOCK_EXEMPT"
 
 
+def held_box_locks(fresh_s: float = 300.0, locks=_BOX_LOCKS) -> list:
+    """Busy locks currently held (exist and mtime < ``fresh_s``).
+    Holders heartbeat-touch every 60 s, so a stale file is an abandoned
+    lock from a killed holder, not a live job."""
+    if os.environ.get(_LOCK_EXEMPT_ENV) == "1":
+        return []
+    now = time.time()
+    out = []
+    for p in locks:
+        try:
+            if now - os.path.getmtime(p) < fresh_s:
+                out.append(p)
+        except OSError:
+            pass
+    return out
+
+
 def wait_for_box_idle(max_wait_s: float = 2400.0, fresh_s: float = 300.0,
-                      poll_s: float = 15.0, locks=_BOX_LOCKS) -> float:
+                      poll_s: float = 15.0, locks=_BOX_LOCKS) -> list:
     """Bounded wait while another JAX job advertises it holds this box.
 
-    Returns the seconds waited.  Exempt (returns immediately) when
-    ``SRNN_BOX_LOCK_EXEMPT=1`` — the recert sweep sets this for its own
-    steps, which would otherwise deadlock on the sweep's own lock."""
-    if os.environ.get(_LOCK_EXEMPT_ENV) == "1":
-        return 0.0
-
-    def _live():
-        now = time.time()
-        out = []
-        for p in locks:
-            try:
-                if now - os.path.getmtime(p) < fresh_s:
-                    out.append(p)
-            except OSError:
-                pass
-        return out
-
+    Returns the locks STILL held at return (empty = box idle) — a
+    caller must not probe into a busy box: concurrent backend init
+    hangs BOTH processes, so timing out the wait means skip, not probe.
+    Exempt (returns [] immediately) when ``SRNN_BOX_LOCK_EXEMPT=1`` —
+    the recert sweep sets this for its own steps, which would otherwise
+    deadlock on the sweep's own lock."""
     t0 = time.time()
-    held = _live()
+    held = held_box_locks(fresh_s, locks)
     if held:
         # stdout is the driver's parse surface (one JSON line) — notes
         # go to stderr
@@ -79,8 +85,8 @@ def wait_for_box_idle(max_wait_s: float = 2400.0, fresh_s: float = 300.0,
               f"{max_wait_s:.0f}s", file=sys.stderr)
     while held and time.time() - t0 < max_wait_s:
         time.sleep(poll_s)
-        held = _live()
-    return time.time() - t0
+        held = held_box_locks(fresh_s, locks)
+    return held
 
 
 def _probe_once(timeout_s: float):
@@ -184,9 +190,16 @@ def run_guarded(body, retry_wait_s: float = 45.0) -> int:
     most importantly the auto-recert sweep: if the tunnel relay returns
     shortly before the driver's round-end bench run, the sweep holds
     the chip for 30-60 min and a concurrent probe would time out and
-    record a false "tpu_unavailable" skip.
+    record a false "tpu_unavailable" skip.  If the box is STILL busy
+    when the wait expires (a cold sweep can compile for ~2 h), emit a
+    distinct ``box_busy`` skip rather than probing: concurrent backend
+    init on this box hangs BOTH processes, so probing into a live job
+    could wedge the sweep mid-certification.
     """
-    wait_for_box_idle()
+    still_held = wait_for_box_idle()
+    if still_held:
+        print(skip_marker("box_busy"))
+        return 0
     if not tpu_available():
         print(skip_marker())
         return 0

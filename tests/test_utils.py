@@ -42,32 +42,42 @@ def test_pin_reachable_platform_leaves_tpu_selection(monkeypatch):
 
 
 def test_wait_for_box_idle_no_locks(tmp_path):
-    """An idle box (no lock files) returns immediately."""
+    """An idle box (no lock files) returns [] immediately."""
+    import time
+
     from samplernn_pase_tpu.utils import tpu_guard
 
-    waited = tpu_guard.wait_for_box_idle(
+    t0 = time.perf_counter()
+    held = tpu_guard.wait_for_box_idle(
         max_wait_s=5.0, poll_s=0.05,
         locks=(str(tmp_path / "absent.lock"),))
-    assert waited < 1.0
+    assert held == []
+    assert time.perf_counter() - t0 < 1.0
 
 
 def test_wait_for_box_idle_waits_for_fresh_lock(tmp_path):
     """A freshly-touched lock (the recert sweep's heartbeat) makes the
-    guard wait — bounded by max_wait_s, so a stuck holder can't block
-    the driver's bench forever."""
+    guard wait — bounded by max_wait_s — and a hold that outlives the
+    wait is REPORTED (the caller must skip, not probe into a busy
+    chip: concurrent backend init hangs both processes)."""
+    import time
+
     from samplernn_pase_tpu.utils import tpu_guard
 
     lock = tmp_path / "recert_running"
     lock.touch()
-    waited = tpu_guard.wait_for_box_idle(
+    t0 = time.perf_counter()
+    held = tpu_guard.wait_for_box_idle(
         max_wait_s=0.3, poll_s=0.05, locks=(str(lock),))
-    assert waited >= 0.3
+    assert time.perf_counter() - t0 >= 0.3
+    assert held == [str(lock)]
 
 
 def test_wait_for_box_idle_ignores_stale_lock(tmp_path):
     """A lock whose heartbeat stopped (old mtime) is abandoned — e.g.
     the box killed a sweep mid-run — and must not delay the probe."""
     import os
+    import time
 
     from samplernn_pase_tpu.utils import tpu_guard
 
@@ -75,9 +85,11 @@ def test_wait_for_box_idle_ignores_stale_lock(tmp_path):
     lock.touch()
     old = 1_000_000.0
     os.utime(lock, (old, old))
-    waited = tpu_guard.wait_for_box_idle(
+    t0 = time.perf_counter()
+    held = tpu_guard.wait_for_box_idle(
         max_wait_s=5.0, poll_s=0.05, fresh_s=300.0, locks=(str(lock),))
-    assert waited < 1.0
+    assert held == []
+    assert time.perf_counter() - t0 < 1.0
 
 
 def test_wait_for_box_idle_exempt_env(tmp_path, monkeypatch):
@@ -88,9 +100,35 @@ def test_wait_for_box_idle_exempt_env(tmp_path, monkeypatch):
     lock = tmp_path / "recert_running"
     lock.touch()
     monkeypatch.setenv(tpu_guard._LOCK_EXEMPT_ENV, "1")
-    waited = tpu_guard.wait_for_box_idle(
+    held = tpu_guard.wait_for_box_idle(
         max_wait_s=5.0, poll_s=0.05, locks=(str(lock),))
-    assert waited == 0.0
+    assert held == []
+
+
+def test_run_guarded_box_busy_skips_without_probing(tmp_path,
+                                                    monkeypatch, capsys):
+    """A box still busy after the bounded wait must produce the
+    ``box_busy`` skip marker WITHOUT probing or running the body —
+    probing into a live job (e.g. the auto-recert sweep) hangs both
+    processes on this one-JAX-process box."""
+    import json
+
+    from samplernn_pase_tpu.utils import tpu_guard
+
+    lock = tmp_path / "recert_running"
+    lock.touch()
+    monkeypatch.setattr(
+        tpu_guard, "wait_for_box_idle",
+        lambda *a, **k: [str(lock)])
+
+    def _boom(**kw):
+        raise AssertionError("probed into a busy box")
+
+    monkeypatch.setattr(tpu_guard, "tpu_available", _boom)
+    rc = tpu_guard.run_guarded(lambda: 1)
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out == {"skipped": True, "reason": "box_busy"}
 
 
 def test_step_timer_throughput():
