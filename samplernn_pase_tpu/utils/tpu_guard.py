@@ -46,18 +46,37 @@ _RETRIED_ENV = "_SRNN_TPU_GUARD_RETRIED"
 # recert sweep does, every 60 s); a lock whose mtime goes stale is
 # treated as abandoned and ignored.
 _BOX_LOCKS = ("/tmp/recert_running", "/tmp/jax_busy.lock")
+_BUSY_LOCK = "/tmp/jax_busy.lock"
+# "1" exempts ALL locks (the recert sweep sets this for its steps —
+# they hold the whole box); a os.pathsep-separated path list exempts
+# only those locks (with_box_lock.sh exempts its own /tmp/jax_busy.lock
+# so a run_guarded child doesn't false-skip on its wrapper's lock,
+# while still honoring a concurrent sweep's recert_running).
 _LOCK_EXEMPT_ENV = "SRNN_BOX_LOCK_EXEMPT"
 
 
+def _exempt_locks() -> set:
+    v = os.environ.get(_LOCK_EXEMPT_ENV, "")
+    if not v:
+        return set()
+    if v == "1":
+        return set(_BOX_LOCKS) | {"*"}
+    return {os.path.abspath(p) for p in v.split(os.pathsep) if p}
+
+
 def held_box_locks(fresh_s: float = 300.0, locks=_BOX_LOCKS) -> list:
-    """Busy locks currently held (exist and mtime < ``fresh_s``).
+    """Busy locks currently held (exist and mtime < ``fresh_s``),
+    minus any this process is exempted from (see _LOCK_EXEMPT_ENV).
     Holders heartbeat-touch every 60 s, so a stale file is an abandoned
     lock from a killed holder, not a live job."""
-    if os.environ.get(_LOCK_EXEMPT_ENV) == "1":
+    exempt = _exempt_locks()
+    if "*" in exempt:
         return []
     now = time.time()
     out = []
     for p in locks:
+        if os.path.abspath(p) in exempt:
+            continue
         try:
             if now - os.path.getmtime(p) < fresh_s:
                 out.append(p)
@@ -87,6 +106,55 @@ def wait_for_box_idle(max_wait_s: float = 2400.0, fresh_s: float = 300.0,
         time.sleep(poll_s)
         held = held_box_locks(fresh_s, locks)
     return held
+
+
+class advertise_busy:
+    """Hold /tmp/jax_busy.lock (heartbeat-touched every 60 s from a
+    daemon thread) for the duration of a JAX job, so the TPU-return
+    watchdog and other drivers defer instead of probing into it —
+    concurrent backend init hangs BOTH processes on this box.
+
+    The lock file is removed on exit only if this process created it
+    (an enclosing with_box_lock.sh owns its own file and keeps
+    re-touching it); a process killed before exit stops heartbeating,
+    so the lock goes stale within the 300 s freshness window instead
+    of wedging the watchdog forever."""
+
+    def __init__(self, lock: str | None = None, beat_s: float = 60.0):
+        self._lock = _BUSY_LOCK if lock is None else lock
+        self._beat_s = beat_s
+        self._stop = None
+        self._created = False
+
+    def __enter__(self):
+        import threading
+        self._created = not os.path.exists(self._lock)
+        try:
+            with open(self._lock, "a"):
+                os.utime(self._lock, None)
+        except OSError:
+            return self          # unwritable /tmp: advertise best-effort
+        self._stop = threading.Event()
+
+        def _beat():
+            while not self._stop.wait(self._beat_s):
+                try:
+                    os.utime(self._lock, None)
+                except OSError:
+                    pass
+
+        threading.Thread(target=_beat, daemon=True).start()
+        return self
+
+    def __exit__(self, *exc):
+        if self._stop is not None:
+            self._stop.set()
+        if self._created:
+            try:
+                os.remove(self._lock)
+            except OSError:
+                pass
+        return False
 
 
 def _probe_once(timeout_s: float):
@@ -200,17 +268,28 @@ def run_guarded(body, retry_wait_s: float = 45.0) -> int:
     if still_held:
         print(skip_marker("box_busy"))
         return 0
-    if not tpu_available():
-        print(skip_marker())
-        return 0
-    try:
-        return body()
-    except Exception as e:                    # noqa: BLE001
-        if not _is_backend_init_error(e):
-            raise
-        if os.environ.get(_RETRIED_ENV) != "1":
-            os.environ[_RETRIED_ENV] = "1"
-            time.sleep(retry_wait_s)
-            os.execv(sys.executable, [sys.executable] + sys.argv)
-        print(skip_marker("tpu_init_transient"))
-        return 0
+    # advertise our own probe+body the same way we expect others to:
+    # the watchdog wakes every 5 min and would otherwise probe (or
+    # launch the recert sweep) into our live job
+    with advertise_busy():
+        if not tpu_available():
+            print(skip_marker())
+            return 0
+        try:
+            return body()
+        except Exception as e:                # noqa: BLE001
+            if not _is_backend_init_error(e):
+                raise
+            if os.environ.get(_RETRIED_ENV) != "1":
+                os.environ[_RETRIED_ENV] = "1"
+                time.sleep(retry_wait_s)
+                # exec replaces the process: advertise_busy.__exit__
+                # never runs, so drop the lock here or the re-exec'd
+                # child stalls on its own leftover until it goes stale
+                try:
+                    os.remove(_BUSY_LOCK)
+                except OSError:
+                    pass
+                os.execv(sys.executable, [sys.executable] + sys.argv)
+            print(skip_marker("tpu_init_transient"))
+            return 0

@@ -15,11 +15,19 @@ cd "$(dirname "$0")/.."
 # Advertise the sweep to other driver scripts (tpu_guard waits on a
 # FRESH /tmp/recert_running instead of probing into a busy chip and
 # reporting a false outage), heartbeat-touching it every 60 s so a
-# killed sweep's stale lock is ignored. Our own steps are exempted
-# from the wait or they would deadlock on this very lock.
+# killed sweep's stale lock is ignored. The heartbeat re-touches only
+# while THIS script is alive (kill -0): a kill -9'd sweep (EXIT trap
+# never fires on SIGKILL) must not leave an orphaned subshell keeping
+# the lock fresh forever. Our own steps are exempted from the wait or
+# they would deadlock on this very lock.
 LOCK=/tmp/recert_running
+MAIN=$$
 touch "$LOCK"
-( while true; do touch "$LOCK" 2>/dev/null; sleep 60; done ) &
+( while kill -0 "$MAIN" 2>/dev/null; do
+    touch "$LOCK" 2>/dev/null
+    sleep 60
+  done
+  rm -f "$LOCK" ) &
 HB_PID=$!
 trap 'kill "$HB_PID" 2>/dev/null; rm -f "$LOCK"' EXIT
 export SRNN_BOX_LOCK_EXEMPT=1

@@ -105,6 +105,63 @@ def test_wait_for_box_idle_exempt_env(tmp_path, monkeypatch):
     assert held == []
 
 
+def test_held_box_locks_path_specific_exemption(tmp_path, monkeypatch):
+    """SRNN_BOX_LOCK_EXEMPT=<path> exempts ONLY that lock — a
+    with_box_lock.sh child ignores its own wrapper's jax_busy.lock but
+    still honors a concurrent recert sweep's lock."""
+    from samplernn_pase_tpu.utils import tpu_guard
+
+    mine = tmp_path / "jax_busy.lock"
+    theirs = tmp_path / "recert_running"
+    mine.touch()
+    theirs.touch()
+    monkeypatch.setenv(tpu_guard._LOCK_EXEMPT_ENV, str(mine))
+    held = tpu_guard.held_box_locks(locks=(str(theirs), str(mine)))
+    assert held == [str(theirs)]
+
+
+def test_advertise_busy_creates_and_cleans(tmp_path):
+    """advertise_busy touches the lock for the duration of the body and
+    removes it after — but leaves a PRE-EXISTING file alone (an
+    enclosing with_box_lock.sh owns its own lock)."""
+    import os
+
+    from samplernn_pase_tpu.utils import tpu_guard
+
+    lock = tmp_path / "jax_busy.lock"
+    with tpu_guard.advertise_busy(str(lock), beat_s=600):
+        assert lock.exists()
+    assert not lock.exists()
+
+    lock.touch()
+    old = os.path.getmtime(str(lock)) - 100
+    os.utime(str(lock), (old, old))
+    with tpu_guard.advertise_busy(str(lock), beat_s=600):
+        assert os.path.getmtime(str(lock)) > old    # re-touched fresh
+    assert lock.exists()                            # not ours to remove
+
+
+def test_run_guarded_advertises_its_body(tmp_path, monkeypatch):
+    """run_guarded holds the busy lock while the body runs, so the
+    watchdog defers instead of probing into (or launching the recert
+    sweep on top of) the driver's live JAX job."""
+    from samplernn_pase_tpu.utils import tpu_guard
+
+    lock = tmp_path / "jax_busy.lock"
+    monkeypatch.setattr(tpu_guard, "_BUSY_LOCK", str(lock))
+    monkeypatch.setattr(tpu_guard, "wait_for_box_idle", lambda *a, **k: [])
+    monkeypatch.setattr(tpu_guard, "tpu_available", lambda **kw: True)
+    seen = {}
+
+    def body():
+        seen["held"] = lock.exists()
+        return 0
+
+    assert tpu_guard.run_guarded(body) == 0
+    assert seen["held"]
+    assert not lock.exists()
+
+
 def test_run_guarded_box_busy_skips_without_probing(tmp_path,
                                                     monkeypatch, capsys):
     """A box still busy after the bounded wait must produce the
