@@ -254,6 +254,37 @@ def _embed_wav(path, pase_cfg, encoder, pase_ckpt):
     return emb
 
 
+def _load_seed_wav(path, exp, sr, joint_encoder, pase_ckpt, *,
+                   warn_tag, warn_if_unembeddable=True):
+    """Load a seed waveform for audio continuation (one definition for
+    the generate/stream/serve verbs): resample to the model rate,
+    quantize with the model codec, and — for conditioned models with a
+    usable encoder — embed it, so priming warms the state under the
+    seed's OWN conditioning, as teacher forcing during training would
+    have. Returns ``(levels [L] int32, cond [frames, D] | None)``."""
+    from samplernn_pase_tpu import config as C
+    from samplernn_pase_tpu.data.dataset import _quantize_host
+    from samplernn_pase_tpu.ops.audio_io import read_wav, resample
+
+    x, in_sr = read_wav(path)
+    if in_sr != sr:
+        x = resample(x, in_sr, sr)
+    levels = _quantize_host(x, exp.model.q_levels, exp.model.codec)
+    cond = None
+    if exp.model.cond_dim:
+        if joint_encoder is not None or pase_ckpt:
+            cond = np.asarray(_embed_wav(
+                path, exp.pase or C.PASEConfig(), joint_encoder,
+                pase_ckpt))
+        elif warn_if_unembeddable:
+            # priming is conditioned but the seed can't be embedded —
+            # the warmed state won't see conditioning
+            print(f"[warn] {warn_tag}: no PASE encoder available to "
+                  "embed the seed (pass --pase-ckpt); priming without "
+                  "external conditioning", file=sys.stderr)
+    return levels, cond
+
+
 def cmd_generate(args):
     import jax
     from samplernn_pase_tpu import config as C
@@ -314,39 +345,23 @@ def cmd_generate(args):
         # so the generated audio carries on from it (generate.prime).
         # One lane is primed and the result broadcast to all n — the
         # lanes start identical and diverge through sampling.
+        # speakers-only models need no seed cond stream: the learned
+        # speaker embedding rides in via the speakers argument below.
         import jax.numpy as jnp
-        from samplernn_pase_tpu.data.dataset import _quantize_host
-        from samplernn_pase_tpu.ops.audio_io import read_wav, resample
-        x, sr = read_wav(args.seed_wav)
-        if sr != gcfg.sample_rate:
-            x = resample(x, sr, gcfg.sample_rate)
-        seed_lv = _quantize_host(x, exp.model.q_levels, exp.model.codec)
-        prime_cond = None
-        if exp.model.cond_dim:
-            if joint_encoder is not None or args.pase_ckpt:
-                # warm the state under the SEED's own conditioning, as
-                # teacher forcing during training would have
-                pc = np.asarray(_embed_wav(
-                    args.seed_wav, exp.pase or C.PASEConfig(),
-                    joint_encoder, args.pase_ckpt))
-                prime_cond = pc[None]
-            elif cond is not None:
-                # generation is conditioned but the seed can't be
-                # embedded — the warmed state won't see conditioning
-                print("[warn] --seed-wav: no PASE encoder available to "
-                      "embed the seed (pass --pase-ckpt); priming "
-                      "without external conditioning", file=sys.stderr)
-            # speakers-only models need no stream: the learned speaker
-            # embedding rides in via the speakers argument below
+        seed_lv, pc = _load_seed_wav(
+            args.seed_wav, exp, gcfg.sample_rate, joint_encoder,
+            args.pase_ckpt, warn_tag="--seed-wav",
+            warn_if_unembeddable=cond is not None)
         states, hist = gen.prime(
-            params, exp.model, seed_lv[None], cond=prime_cond,
+            params, exp.model, seed_lv[None],
+            cond=None if pc is None else pc[None],
             speakers=None if speakers is None else speakers[:1])
         states = tuple(
             jnp.broadcast_to(s, (*s.shape[:-2], n, s.shape[-1]))
             for s in states)
         hist = jnp.broadcast_to(hist, (n, hist.shape[1]))
         prime_kw = {"initial_states": states, "hist": hist}
-        print(f"[generate] primed on {len(x)} seed samples from "
+        print(f"[generate] primed on {len(seed_lv)} seed samples from "
               f"{args.seed_wav}", file=sys.stderr)
     levels = gen.generate_levels(
         params, exp.model, n, length,
@@ -449,16 +464,14 @@ def cmd_stream(args):
     np.asarray(sg.emit(chunk, speakers=speakers))
     sg.reset()
     if args.seed_wav:
-        from samplernn_pase_tpu.data.dataset import _quantize_host
-        from samplernn_pase_tpu.ops.audio_io import read_wav, resample
-        x, in_sr = read_wav(args.seed_wav)
-        if in_sr != sr:
-            x = resample(x, in_sr, sr)
-        sg.prime(_quantize_host(x, exp.model.q_levels,
-                                exp.model.codec)[None],
+        seed_lv, pc = _load_seed_wav(
+            args.seed_wav, exp, sr, joint_encoder, args.pase_ckpt,
+            warn_tag="--seed-wav", warn_if_unembeddable=cond is not None)
+        sg.prime(seed_lv[None],
+                 cond=None if pc is None else pc[None],
                  speakers=speakers)
-        print(f"[stream] primed on {len(x)} samples from {args.seed_wav}",
-              file=sys.stderr)
+        print(f"[stream] primed on {len(seed_lv)} samples from "
+              f"{args.seed_wav}", file=sys.stderr)
     sg2_levels, times = [], []
     if args.blocked:
         # reference loop: materialize each chunk inside the timed region
@@ -565,7 +578,18 @@ def cmd_serve(args):
     for i, e in enumerate(entries):
         if not isinstance(e, dict):
             sys.exit(f"--jobs: entry {i} is not an object: {e!r}")
-        job = {"id": e.get("id", i)}
+        jid = e.get("id", i)
+        # ids become result filenames: restrict to str/int and reject
+        # path-escaping strings (an id of "../x" must not write outside
+        # --out)
+        if isinstance(jid, bool) or not isinstance(jid, (str, int)):
+            sys.exit(f"--jobs: entry {i}: id must be a string or "
+                     f"integer, got {jid!r}")
+        if isinstance(jid, str) and (
+                not jid or "/" in jid or "\\" in jid or ".." in jid):
+            sys.exit(f"--jobs: entry {i}: id {jid!r} is empty or "
+                     "contains path separators")
+        job = {"id": jid}
         cond = None
         if e.get("cond") is not None:
             cond = np.load(_path(e["cond"]))
@@ -582,27 +606,41 @@ def cmd_serve(args):
                          f"{exp.model.cond_dim}] embedding, got "
                          f"{cond.shape}")
             job["cond"] = cond
+        elif exp.model.cond_dim:
+            # fail BEFORE checkpoint load + pool compile, not as a
+            # traceback out of pool.start() mid-batch
+            sys.exit(f"job {job['id']!r}: this checkpoint was trained "
+                     "with conditioning (cond_dim set) — every job "
+                     "needs cond/cond_wav (or use --jobs-dir)")
         if e.get("length") is not None:
             job["n_samples"] = int(e["length"])
         elif e.get("seconds") is not None:
-            job["n_samples"] = int(float(e["seconds"]) * sr)
+            # round, don't truncate: 1.001*16000 is 16015.999... in
+            # float64 and int() would lose the last sample
+            job["n_samples"] = round(float(e["seconds"]) * sr)
         elif cond is None:
             job["n_samples"] = gcfg.length
         if e.get("speaker") is not None:
             job["speaker"] = int(e["speaker"])
+        if exp.model.n_speakers:
+            spk = job.get("speaker", args.speaker)
+            if spk is None:
+                sys.exit(f"job {job['id']!r}: this checkpoint was "
+                         "trained with n_speakers — every job needs a "
+                         "speaker (or pass --speaker as the default)")
+            if not 0 <= int(spk) < exp.model.n_speakers:
+                sys.exit(f"job {job['id']!r}: speaker {spk} out of "
+                         f"range [0, {exp.model.n_speakers})")
+            job["speaker"] = int(spk)
+        elif job.get("speaker") is not None:
+            sys.exit(f"job {job['id']!r} has a speaker but the model "
+                     "was trained without n_speakers")
         if e.get("seed_wav") is not None:
-            from samplernn_pase_tpu.data.dataset import _quantize_host
-            from samplernn_pase_tpu.ops.audio_io import read_wav, resample
-            x, in_sr = read_wav(_path(e["seed_wav"]))
-            if in_sr != sr:
-                x = resample(x, in_sr, sr)
-            job["seed_levels"] = _quantize_host(
-                x, exp.model.q_levels, exp.model.codec)
-            if exp.model.cond_dim and (joint_encoder is not None
-                                       or args.pase_ckpt):
-                job["seed_cond"] = np.asarray(_embed_wav(
-                    _path(e["seed_wav"]), exp.pase or C.PASEConfig(),
-                    joint_encoder, args.pase_ckpt))
+            job["seed_levels"], sc = _load_seed_wav(
+                _path(e["seed_wav"]), exp, sr, joint_encoder,
+                args.pase_ckpt, warn_tag=f"job {job['id']!r} seed_wav")
+            if sc is not None:
+                job["seed_cond"] = sc
         if e.get("stream_key") is not None:
             job["stream_key"] = jax.random.PRNGKey(int(e["stream_key"]))
         jobs.append(job)
@@ -613,18 +651,24 @@ def cmd_serve(args):
     def _fname(jid):
         return f"{jid}.wav" if isinstance(jid, str) else f"job_{jid:03d}.wav"
 
+    written = []
+
     def on_done(jid, levels):
         wav = np.asarray(gen.decode_waveform(levels, exp.model))
         write_wav(out / _fname(jid), wav, sr)
+        written.append(jid)
 
     temp = args.temperature if args.temperature is not None \
         else gcfg.temperature
-    results, stats = serve.run_jobs(
+    # every wav streams out through on_done — retaining the whole
+    # batch's audio in run_jobs' results would scale host memory with
+    # the manifest instead of with in-flight work
+    _, stats = serve.run_jobs(
         params, exp.model, jobs, n_lanes=args.lanes,
         chunk=chunk, temperature=temp or None,
         key=jax.random.PRNGKey(args.seed if args.seed is not None
                                else gcfg.seed),
-        on_done=on_done)
+        on_done=on_done, retain_results=False)
     stats["sample_rate"] = sr
     stats["realtime_x"] = round(
         stats["generated"] / max(stats["wall_s"], 1e-9) / sr, 2)
@@ -632,7 +676,7 @@ def cmd_serve(args):
     print(f"[serve] {stats['jobs']} jobs over {stats['lanes']} lanes in "
           f"{stats['chunks']} chunks ({stats['wall_s']:.2f}s, "
           f"{stats['realtime_x']}x realtime aggregate, utilization "
-          f"{stats['utilization']:.2f}); wrote {len(results)} wavs to "
+          f"{stats['utilization']:.2f}); wrote {len(written)} wavs to "
           f"{out}", file=sys.stderr)
     print(json.dumps(stats))
 

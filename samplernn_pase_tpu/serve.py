@@ -480,7 +480,8 @@ def run_jobs(params, cfg: SampleRNNConfig, jobs, *, n_lanes: int,
              chunk: int | None = None, temperature: float | None = 1.0,
              key=None, use_pallas: bool | str | None = None,
              max_cond_frames: int = 1024, mesh=None,
-             enqueue_ahead: bool = True, on_done=None):
+             enqueue_ahead: bool = True, on_done=None,
+             retain_results: bool = True):
     """Continuous-batching batch synthesis: drain a list of
     variable-length jobs through one :class:`StreamPool`.
 
@@ -521,6 +522,10 @@ def run_jobs(params, cfg: SampleRNNConfig, jobs, *, n_lanes: int,
     ``utilization`` (requested / dispatched lane-samples — the
     static-batch occupancy), and ``wall_s``. ``on_done(id, levels)``
     fires as each job's last chunk materializes (streaming consumers).
+    ``retain_results=False`` returns an empty results dict and drops
+    each job's audio after its ``on_done`` fires — a consumer that
+    streams jobs out (the CLI writes one wav per completion) should not
+    also hold the whole batch's audio in host memory.
     """
     import time
 
@@ -557,6 +562,7 @@ def run_jobs(params, cfg: SampleRNNConfig, jobs, *, n_lanes: int,
                       use_pallas=use_pallas,
                       max_cond_frames=max_cond_frames, mesh=mesh)
     results: dict = {}
+    done: set = set()
     pieces: dict = {}                    # id -> [np chunk, ...]
     active: dict = {}                    # lane -> [id, remaining]
     inflight: list = []                  # [(async levels, {lane: id})]
@@ -568,10 +574,12 @@ def run_jobs(params, cfg: SampleRNNConfig, jobs, *, n_lanes: int,
         arr = np.asarray(levels)
         for lane, jid in snapshot.items():
             pieces[jid].append(arr[lane])
-            if jid not in results and sum(
+            if jid not in done and sum(
                     p.shape[0] for p in pieces[jid]) >= want[jid]:
                 out = np.concatenate(pieces.pop(jid))[:want[jid]]
-                results[jid] = out
+                done.add(jid)
+                if retain_results:
+                    results[jid] = out
                 if on_done is not None:
                     on_done(jid, out)
 

@@ -715,3 +715,22 @@ def test_cli_serve_n_jobs_and_validation(wav_dir, tmp_path):
     with pytest.raises(SystemExit):                  # unconditioned model
         cli.main(["serve", "--ckpt", str(exp), "--out", str(out),
                   "--jobs-dir", str(tmp_path)])
+    # malformed manifests fail fast (sys.exit with the offending job
+    # named), never as a traceback out of the pool mid-batch
+    bad = tmp_path / "bad.json"
+    for entry in ({"id": "../escape", "length": 8},   # escapes --out
+                  {"id": 1.5, "length": 8},           # not str/int
+                  {"id": None, "length": 8},
+                  {"length": 8, "speaker": 0}):       # speakerless model
+        bad.write_text(json.dumps([entry]))
+        with pytest.raises(SystemExit):
+            cli.main(["serve", "--ckpt", str(exp), "--out", str(out),
+                      "--jobs", str(bad)])
+    # `seconds` must round, not truncate: 1001/16000 s * 16000 is
+    # 1000.9999999999999 in float64 — int() would serve one sample short
+    bad.write_text(json.dumps([{"id": "round", "seconds": 1001 / 16_000}]))
+    out2 = tmp_path / "served2"
+    cli.main(["serve", "--ckpt", str(exp), "--out", str(out2),
+              "--jobs", str(bad), "--lanes", "1", "--chunk-ms", "64",
+              "--temperature", "0"])
+    assert len(read_wav(out2 / "round.wav")[0]) == 1001

@@ -585,6 +585,31 @@ def test_run_jobs_enqueue_ahead_is_invisible():
         np.testing.assert_array_equal(a[i], b[i])
 
 
+def test_run_jobs_retain_results_false_streams_only():
+    """retain_results=False: the batch's audio reaches on_done exactly
+    as in the retaining run, but nothing accumulates in results — the
+    streaming consumer (the CLI writes wavs per completion) must not
+    pay host memory for the whole manifest."""
+    from samplernn_pase_tpu.serve import run_jobs
+
+    cfg = SampleRNNConfig(frame_sizes=(4, 2), dim=16, embed_dim=8,
+                          compute_dtype="float32")
+    params = _mk(cfg, 25)
+    jobs = [{"id": i, "n_samples": 8 + 8 * i,
+             "stream_key": jax.random.PRNGKey(i)} for i in range(3)]
+    kw = dict(n_lanes=2, chunk=cfg.lookback, temperature=0.8,
+              key=jax.random.PRNGKey(3))
+    want, _ = run_jobs(params, cfg, jobs, **kw)
+    streamed = {}
+    got, stats = run_jobs(params, cfg, jobs, retain_results=False,
+                          on_done=lambda jid, lv: streamed.__setitem__(
+                              jid, lv), **kw)
+    assert got == {}
+    assert set(streamed) == set(want)
+    for i in want:
+        np.testing.assert_array_equal(streamed[i], want[i])
+
+
 def test_run_jobs_validation():
     from samplernn_pase_tpu.serve import run_jobs
 
