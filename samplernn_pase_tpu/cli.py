@@ -642,7 +642,21 @@ def cmd_serve(args):
             if sc is not None:
                 job["seed_cond"] = sc
         if e.get("stream_key") is not None:
-            job["stream_key"] = jax.random.PRNGKey(int(e["stream_key"]))
+            sk = e["stream_key"]
+            if isinstance(sk, (list, tuple)):
+                # a raw [2]-uint32 key (what StreamPool.start takes and
+                # what jax.random.key_data prints) — pass through
+                if len(sk) != 2:
+                    sys.exit(f"job {job['id']!r}: stream_key list must "
+                             f"be the raw [2]-uint32 key data, got "
+                             f"{len(sk)} entries")
+                job["stream_key"] = np.asarray(sk, np.uint32)
+            elif isinstance(sk, (int, float)) and not isinstance(sk, bool) \
+                    and float(sk).is_integer():
+                job["stream_key"] = jax.random.PRNGKey(int(sk))
+            else:
+                sys.exit(f"job {job['id']!r}: stream_key must be an int "
+                         f"seed or a [2]-uint32 raw key, got {sk!r}")
         jobs.append(job)
 
     out = Path(args.out)
@@ -660,6 +674,12 @@ def cmd_serve(args):
 
     temp = args.temperature if args.temperature is not None \
         else gcfg.temperature
+    if not temp:
+        keyed = [j["id"] for j in jobs if "stream_key" in j]
+        if keyed:
+            sys.exit(f"--temperature 0 (greedy) but jobs {keyed} pin a "
+                     "stream_key — greedy synthesis has no sampling "
+                     "noise to pin")
     # every wav streams out through on_done — retaining the whole
     # batch's audio in run_jobs' results would scale host memory with
     # the manifest instead of with in-flight work

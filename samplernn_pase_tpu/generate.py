@@ -277,7 +277,7 @@ def _megakernel_mode(cfg, n_seqs):
     return None
 
 
-def _full_kernel_eligible(cfg, cond, use_pallas, temperature, n_seqs):
+def _full_kernel_eligible(cfg, cond, use_pallas, n_seqs):
     """Route to the whole-generation megakernel (ops/pallas/megagen.py)?"""
     if cfg.cond_dim and cond is None:
         return False  # conditioned model without a stream: fallback
@@ -596,6 +596,19 @@ def generate_levels(params, cfg: SampleRNNConfig, n_seqs: int, length: int,
     (greedy parity is exact in f32, see tests/test_pallas.py).
     """
     key = key if key is not None else jax.random.PRNGKey(0)
+    if length <= 0:
+        # uniform across paths: the megakernel would crash concatenating
+        # zero chunks while the XLA path returns empty — short-circuit
+        # both (state passes through unchanged)
+        levels = jnp.zeros((n_seqs, 0), jnp.int32)
+        if not return_state:
+            return levels
+        if initial_states is None:
+            initial_states = samplernn.initial_state(params, cfg, n_seqs)
+        if hist is None:
+            hist = jnp.full((n_seqs, cfg.lookback),
+                            quantize_zero(cfg.q_levels), jnp.int32)
+        return levels, initial_states, hist
     if speakers is not None:
         # the speaker embedding is broadcast over the WHOLE cond stream
         # when one is given (streaming passes the full stream with an
@@ -610,7 +623,7 @@ def generate_levels(params, cfg: SampleRNNConfig, n_seqs: int, length: int,
         temperature = None
     lane_keys = _norm_lane_keys(lane_keys, n_seqs, temperature)
     if use_pallas and _full_kernel_eligible(cfg, cond, use_pallas,
-                                            temperature, n_seqs):
+                                            n_seqs):
         return _generate_full(params, cfg, n_seqs, length, temperature,
                               key, hist, initial_states,
                               interpret=use_pallas == "interpret",
@@ -689,8 +702,17 @@ def prime(params, cfg: SampleRNNConfig, levels, cond=None, speakers=None,
         return states, hist
     inputs = levels[:, total - lookback - t:]
     if cond is not None:
+        # forward's cond row 0 covers the first TARGET sample of the T
+        # window (inputs[lookback] = levels[total - t]) — the training
+        # convention (StreamBatcher / cond_index). Slicing from the
+        # INPUTS start would hand forward rows lagging the audio by
+        # lookback samples.
         cond = jnp.asarray(cond)
-        row0 = (total - lookback - t) // cfg.cond_rate
+        row0 = (total - t) // cfg.cond_rate
+        # a seed_cond that stops short of the target window still keeps
+        # its last row: forward clamp-extends short streams at the last
+        # row (_tier_ext_cond), but an EMPTY stream has no row to clamp to
+        row0 = min(row0, cond.shape[1] - 1)
         cond = cond[:, row0:]
     if speakers is not None:
         speakers = jnp.asarray(speakers, jnp.int32)

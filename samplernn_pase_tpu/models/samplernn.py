@@ -156,9 +156,16 @@ def speaker_cond(params: Params, cfg: SampleRNNConfig, speakers, cond,
     the learned speaker embedding is broadcast over time and added onto
     (or used as) the external conditioning (C12)."""
     spk = params["speaker"][speakers]                 # [B, cond_dim]
-    spk = jnp.broadcast_to(spk[:, None, :],
-                           (spk.shape[0], n_cond_frames, spk.shape[1]))
-    return spk if cond is None else cond + spk
+    if cond is None:
+        return jnp.broadcast_to(spk[:, None, :],
+                                (spk.shape[0], n_cond_frames, spk.shape[1]))
+    # the embedding is time-invariant: add it over however many rows the
+    # stream actually has. forward() clamp-extends short cond streams at
+    # the last row (_tier_ext_cond), so materializing the embedding to
+    # exactly n_cond_frames here would turn a legal short stream (e.g. a
+    # prime() seed tail whose cond under-covers the window) into a shape
+    # error on the speaker path only.
+    return cond + spk[:, None, :]
 
 
 def forward(params: Params, cfg: SampleRNNConfig, inputs, state: State,

@@ -51,7 +51,7 @@ from .ops.mulaw import quantize_zero
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def _pool_join(params, states, hist, la, lane_keys, noise_pos,
                stream_key, key_epoch, cursors, cond_buf, cond_dev,
-               speakers_dev, spk, *, cfg):
+               spk, *, cfg):
     """Every pool-array update of one join as ONE compiled program.
 
     Run eagerly these are 7-9 separate dispatches per join (state
@@ -83,14 +83,22 @@ def _pool_join(params, states, hist, la, lane_keys, noise_pos,
         if spk is not None:
             # fold the speaker embedding in ONCE (solo folds it per
             # emit; add-then-gather == gather-then-add, so the lane
-            # stays bit-identical to its solo generator)
+            # stays bit-identical to its solo generator). A speaker
+            # model always has a cond buffer: init_params enforces
+            # n_speakers => cond_dim, so this is the only speaker path.
             cond_dev = cond_dev + jnp.take(params["speaker"], spk, axis=0)
         cond_buf = cond_buf.at[la].set(cond_dev)
         cursors = cursors.at[la].set(0)
-    if speakers_dev is not None:
-        speakers_dev = speakers_dev.at[la].set(spk)
-    return (states, hist, lane_keys, noise_pos, cursors, cond_buf,
-            speakers_dev)
+    return (states, hist, lane_keys, noise_pos, cursors, cond_buf)
+
+
+@jax.jit
+def _advance(cursors, noise_pos, n):
+    """Advance both per-lane counters in ONE dispatch — the sampled
+    conditioned emit path would otherwise pay two eager-op round trips
+    per chunk on a remote-attached host (the same accounting that
+    motivated the fused _pool_join)."""
+    return cursors + n, noise_pos + n
 
 
 @jax.jit
@@ -191,12 +199,12 @@ class StreamPool:
                           if cfg.cond_dim else None)
         self._cond_len = [0] * self.n       # unpadded rows per lane
         self._cursors = jnp.zeros((self.n,), jnp.int32)   # in SAMPLES
-        # host mirror (prime() needs the scalar) + device-resident
-        # array so speaker-model emits upload nothing per chunk
+        # host mirror of each lane's speaker id (prime() and
+        # extend_cond() need the scalar; the embedding itself is folded
+        # into the cond buffer at start() — init_params enforces
+        # n_speakers => cond_dim, so there is no cond-less speaker path)
         self._speakers = (np.zeros((self.n,), np.int32)
                           if cfg.n_speakers else None)
-        self._speakers_dev = (jnp.zeros((self.n,), jnp.int32)
-                              if cfg.n_speakers else None)
         if mesh is not None:
             # multi-chip serving: lanes shard over the mesh 'data' axis
             # (every lane is independent, so the decode graph needs no
@@ -229,9 +237,6 @@ class StreamPool:
         if self._cond_buf is not None:
             self._cond_buf = jax.device_put(self._cond_buf,
                                             pm.batch_sharding(mesh, 3))
-        if self._speakers_dev is not None:
-            self._speakers_dev = jax.device_put(
-                self._speakers_dev, pm.batch_sharding(mesh, 1))
 
     # -- lifecycle -------------------------------------------------------
     def start(self, cond=None, speaker=None, seed_levels=None,
@@ -283,6 +288,14 @@ class StreamPool:
                 raise ValueError(f"speaker {speaker} out of range "
                                  f"[0, {self.cfg.n_speakers})")
         if stream_key is not None:
+            if self.temperature is None:
+                # silently discarding the key would break the
+                # documented contract that it pins this stream's
+                # sampling noise — a greedy pool has none
+                raise ValueError(
+                    "stream_key passed to a greedy pool "
+                    "(temperature=None): there is no sampling noise "
+                    "to pin")
             stream_key = np.asarray(stream_key, np.uint32)
             if stream_key.shape != (2,):
                 raise ValueError(
@@ -339,11 +352,10 @@ class StreamPool:
         # fresh per-lane state (learned h0 + q_zero history) + all the
         # lane-array writes in ONE dispatch (_pool_join)
         (self.states, self.hist, self._lane_keys, self._noise_pos,
-         self._cursors, self._cond_buf, self._speakers_dev) = _pool_join(
+         self._cursors, self._cond_buf) = _pool_join(
             self.params, self.states, self.hist, la, self._lane_keys,
             self._noise_pos, skey, key_epoch, self._cursors,
-            self._cond_buf, cond_dev, self._speakers_dev, spk_dev,
-            cfg=self.cfg)
+            self._cond_buf, cond_dev, spk_dev, cfg=self.cfg)
         if seed is not None:
             spk1 = (np.asarray([self._speakers[lane]], np.int32)
                     if self._speakers is not None else None)
@@ -444,19 +456,16 @@ class StreamPool:
         if n_samples % self.cfg.lookback:
             raise ValueError(f"n_samples must be a multiple of lookback "
                              f"({self.cfg.lookback})")
-        cond, pos0, spk = None, 0, None
+        cond, pos0 = None, 0
         if self.cfg.cond_dim:
             # the WHOLE device-resident buffer + per-lane sample
             # cursors: the decode gathers each lane's rows at its own
             # offset and resolves sub-row phase in-kernel, so any
             # lookback-multiple chunk length works (speaker embedding
-            # already folded into the buffer at start())
+            # already folded into the buffer at start(); init_params
+            # enforces n_speakers => cond_dim, so no other speaker
+            # path exists)
             cond, pos0 = self._cond_buf, self._cursors
-            self._cursors = self._cursors + n_samples
-        elif self.cfg.n_speakers:
-            # speakered-unconditioned model: the spk stream is built
-            # per chunk (time-invariant rows, so alignment is moot)
-            spk = self._speakers_dev
         # per-lane noise (lane_keys) — self.key is never consumed on
         # the emit path, so a lane's sampled stream cannot depend on
         # how many chunks the pool served before it joined
@@ -464,11 +473,17 @@ class StreamPool:
         levels, self.states, self.hist = gen.generate_levels(
             self.params, self.cfg, self.n, n_samples, self.temperature,
             self.key, cond=cond, initial_states=self.states,
-            hist=self.hist, use_pallas=self.use_pallas, speakers=spk,
+            hist=self.hist, use_pallas=self.use_pallas,
             return_state=True, cond_pos0=pos0,
             lane_keys=self._lane_keys if sampled else None,
             noise_pos0=self._noise_pos)
-        if sampled:
+        # one dispatch for the per-lane counter advances (not one each)
+        if cond is not None and sampled:
+            self._cursors, self._noise_pos = _advance(
+                self._cursors, self._noise_pos, n_samples)
+        elif cond is not None:
+            self._cursors = self._cursors + n_samples
+        elif sampled:
             self._noise_pos = self._noise_pos + n_samples
         return levels
 
@@ -573,7 +588,11 @@ def run_jobs(params, cfg: SampleRNNConfig, jobs, *, n_lanes: int,
         levels, snapshot = entry
         arr = np.asarray(levels)
         for lane, jid in snapshot.items():
-            pieces[jid].append(arr[lane])
+            # copy: arr[lane] is a VIEW of the full [n_lanes, chunk]
+            # batch — one still-running long job would otherwise pin
+            # every chunk's whole batch array for its lifetime (host
+            # memory n_lanes x longest job instead of 1 x)
+            pieces[jid].append(arr[lane].copy())
             if jid not in done and sum(
                     p.shape[0] for p in pieces[jid]) >= want[jid]:
                 out = np.concatenate(pieces.pop(jid))[:want[jid]]

@@ -734,3 +734,31 @@ def test_cli_serve_n_jobs_and_validation(wav_dir, tmp_path):
               "--jobs", str(bad), "--lanes", "1", "--chunk-ms", "64",
               "--temperature", "0"])
     assert len(read_wav(out2 / "round.wav")[0]) == 1001
+    # stream_key forms: int seed and raw [2]-uint32 key work; a raw key
+    # pins the job's audio across pool layouts; malformed keys and
+    # greedy-run keys fail fast (named job, no traceback)
+    man = tmp_path / "keys.json"
+    man.write_text(json.dumps([{"id": "k", "length": 64,
+                                "stream_key": [3, 9]},
+                               {"id": "s", "length": 64,
+                                "stream_key": 7}]))
+    o3, o4 = tmp_path / "served3", tmp_path / "served4"
+    cli.main(["serve", "--ckpt", str(exp), "--out", str(o3),
+              "--jobs", str(man), "--lanes", "2", "--chunk-ms", "4",
+              "--temperature", "0.9", "--seed", "1"])
+    cli.main(["serve", "--ckpt", str(exp), "--out", str(o4),
+              "--jobs", str(man), "--lanes", "1", "--chunk-ms", "8",
+              "--temperature", "0.9", "--seed", "2"])
+    for jid in ("k", "s"):
+        np.testing.assert_array_equal(read_wav(o3 / f"{jid}.wav")[0],
+                                      read_wav(o4 / f"{jid}.wav")[0])
+    for sk in ([1, 2, 3], "x", 1.5, True):
+        man.write_text(json.dumps([{"id": "k", "length": 8,
+                                    "stream_key": sk}]))
+        with pytest.raises(SystemExit):
+            cli.main(["serve", "--ckpt", str(exp), "--out", str(out),
+                      "--jobs", str(man), "--temperature", "0.9"])
+    man.write_text(json.dumps([{"id": "k", "length": 8, "stream_key": 7}]))
+    with pytest.raises(SystemExit, match="greedy"):
+        cli.main(["serve", "--ckpt", str(exp), "--out", str(out),
+                  "--jobs", str(man), "--temperature", "0"])

@@ -153,6 +153,45 @@ def test_prime_matches_forward_states():
     assert seeded.shape == (2, 32)
 
 
+def test_prime_conditioned_rows_align_to_target_window():
+    """Conditioned prime must hand forward the cond rows covering the
+    TARGET window (the training convention: row 0 of forward's cond
+    aligns with inputs[lookback]) — not the rows at the inputs start,
+    which would condition the warm-up on embeddings lookback samples
+    behind the audio."""
+    cfg = SampleRNNConfig(frame_sizes=(4, 2), dim=16, rnn_type="gru",
+                          embed_dim=8, cond_dim=6, cond_rate=4,
+                          compute_dtype="float32")
+    params = samplernn.init_params(jax.random.PRNGKey(4), cfg)
+    rng = np.random.default_rng(9)
+    lb = cfg.lookback                                  # 8 > cond_rate
+    total = lb * 5 + 3
+    seed = jnp.asarray(rng.integers(0, 256, (2, total)), jnp.int32)
+    # full-coverage cond: row r covers seed samples [r*rate, (r+1)*rate)
+    n_rows = -(-total // cfg.cond_rate)
+    cond = jnp.asarray(rng.normal(size=(2, n_rows, 6)), jnp.float32)
+
+    states, _ = gen.prime(params, cfg, seed, cond=cond)
+
+    t = (total - lb) // lb * lb
+    inputs = seed[:, total - lb - t:]                  # T window = last t
+    row0 = (total - t) // cfg.cond_rate                # target-window rows
+    s0 = samplernn.initial_state(params, cfg, 2)
+    _, expect = samplernn.forward(params, cfg, inputs, s0,
+                                  cond=cond[:, row0:])
+    for got, exp in zip(states, expect):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(exp),
+                                   atol=1e-6)
+    # and the wrong (inputs-start) slice must actually differ, or this
+    # test pins nothing
+    _, wrong = samplernn.forward(
+        params, cfg, inputs, s0,
+        cond=cond[:, (total - lb - t) // cfg.cond_rate:])
+    assert any(
+        float(jnp.abs(jnp.asarray(a) - jnp.asarray(b)).max()) > 1e-5
+        for a, b in zip(expect, wrong))
+
+
 def test_prime_short_seed_pads_window():
     """Seeds shorter than lookback fill the window with q_zero padding
     and leave states at init (nothing to teacher-force)."""

@@ -358,7 +358,7 @@ def test_megakernel_mode_selection():
     c2 = SampleRNNConfig(frame_sizes=(16, 4, 4), dim=1024, embed_dim=256,
                          rnn_type="lstm", compute_dtype="bfloat16")
     assert gen._megakernel_mode(c2, 128) == "stream"
-    assert gen._full_kernel_eligible(c2, None, True, 0.95, 128)
+    assert gen._full_kernel_eligible(c2, None, True, 128)
     huge = SampleRNNConfig(frame_sizes=(16, 4, 4), dim=2048,
                            embed_dim=256, rnn_type="lstm",
                            compute_dtype="bfloat16", n_rnn=2)

@@ -585,6 +585,33 @@ def test_run_jobs_enqueue_ahead_is_invisible():
         np.testing.assert_array_equal(a[i], b[i])
 
 
+def test_pool_greedy_rejects_stream_key_and_zero_emit_is_empty():
+    """A greedy pool must REJECT stream_key (silently discarding it
+    would break the documented noise-pinning contract), and
+    generate_levels(length=0) returns [B, 0] on every path instead of
+    the megakernel's former concatenate-of-nothing crash."""
+    import jax.numpy as jnp
+
+    from samplernn_pase_tpu import generate as gen
+    from samplernn_pase_tpu.serve import StreamPool
+
+    cfg = SampleRNNConfig(frame_sizes=(4, 2), dim=16, embed_dim=8,
+                          compute_dtype="float32")
+    params = _mk(cfg, 26)
+    pool = StreamPool(params, cfg, n_lanes=2, temperature=None)
+    with pytest.raises(ValueError, match="greedy"):
+        pool.start(stream_key=jax.random.PRNGKey(1))
+    assert not pool.active and len(pool._free) == 2   # slot not leaked
+
+    lv = gen.generate_levels(params, cfg, 2, 0, temperature=None)
+    assert lv.shape == (2, 0)
+    lv, st, hist = gen.generate_levels(params, cfg, 2, 0,
+                                       temperature=0.9,
+                                       return_state=True)
+    assert lv.shape == (2, 0) and hist.shape == (2, cfg.lookback)
+    assert jnp.asarray(st[0]).shape[-2] == 2
+
+
 def test_run_jobs_retain_results_false_streams_only():
     """retain_results=False: the batch's audio reaches on_done exactly
     as in the retaining run, but nothing accumulates in results — the
