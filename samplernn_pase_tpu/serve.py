@@ -303,6 +303,13 @@ class StreamPool:
                     f"(jax.random.PRNGKey(...)), got {stream_key.shape}")
         seed = None
         sc = None
+        if seed_cond is not None and seed_levels is None:
+            # silently dropping the rows would leave the lane decoding
+            # from its cond stream while the caller believes the prompt
+            # context covered them
+            raise ValueError(
+                "seed_cond passed without seed_levels: the rows cover a "
+                "prompt, and there is none")
         if seed_levels is not None:
             seed = jnp.asarray(seed_levels, jnp.int32)
             if seed.ndim == 1:
@@ -563,6 +570,18 @@ def run_jobs(params, cfg: SampleRNNConfig, jobs, *, n_lanes: int,
             n = int(np.shape(job["cond"])[0]) * cfg.cond_rate
         if int(n) < 1:
             raise ValueError(f"job {job['id']!r}: n_samples must be >= 1")
+        if temperature is None and job.get("stream_key") is not None:
+            # pool.start would reject this anyway — but only when the
+            # job claims a lane, possibly after earlier jobs already
+            # streamed out through on_done. Batch validation fails the
+            # whole manifest BEFORE any work.
+            raise ValueError(
+                f"job {job['id']!r}: stream_key on a greedy run "
+                "(temperature=None) — there is no sampling noise to pin")
+        if job.get("seed_cond") is not None \
+                and job.get("seed_levels") is None:
+            raise ValueError(
+                f"job {job['id']!r}: seed_cond without seed_levels")
         job["n_samples"] = int(n)
         queue.append(job)
     ids = [j["id"] for j in queue]

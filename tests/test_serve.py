@@ -386,6 +386,10 @@ def test_pool_validation_errors():
     cond = np.zeros((4, 6), np.float32)
     with pytest.raises(ValueError, match="speaker"):
         pool.start(cond=cond)                 # missing speaker
+    with pytest.raises(ValueError, match="seed_cond"):
+        pool.start(cond=cond, speaker=0,      # rows with no prompt
+                   seed_cond=np.zeros((2, 6), np.float32))
+    assert not pool.active and len(pool._free) == 1   # slot not leaked
     lane = pool.start(cond=cond, speaker=1)
     with pytest.raises(RuntimeError, match="exhausted"):
         pool.start(cond=cond, speaker=0)
@@ -650,5 +654,19 @@ def test_run_jobs_validation():
                                {"id": "x", "n_samples": 8}], n_lanes=1)
     with pytest.raises(ValueError, match="multiple of lookback"):
         run_jobs(params, cfg, [{"n_samples": 8}], n_lanes=1, chunk=3)
+    # greedy + stream_key fails the WHOLE manifest up front (not at
+    # claim time mid-batch, after earlier jobs streamed out)
+    fired = []
+    with pytest.raises(ValueError, match="greedy"):
+        run_jobs(params, cfg,
+                 [{"id": "a", "n_samples": 8},
+                  {"id": "b", "n_samples": 8,
+                   "stream_key": jax.random.PRNGKey(1)}],
+                 n_lanes=1, temperature=None,
+                 on_done=lambda jid, lv: fired.append(jid))
+    assert fired == []
+    with pytest.raises(ValueError, match="seed_cond without seed_levels"):
+        run_jobs(params, cfg, [{"n_samples": 8,
+                                "seed_cond": np.zeros((2, 4))}], n_lanes=1)
     results, stats = run_jobs(params, cfg, [], n_lanes=2)
     assert results == {} and stats["chunks"] == 0
