@@ -157,15 +157,34 @@ class advertise_busy:
         return False
 
 
+def _sanitized_probe_env(env: dict) -> dict:
+    """Probe-subprocess env: PYTHONPATH entries pointing at THIS repo
+    break the axon plugin on this box (round-4 lesson: the repo dir
+    shadows plugin modules), but the variable itself must survive —
+    since round 5 the plugin is itself loaded via
+    ``PYTHONPATH=/root/.axon_site``, and dropping it wholesale made the
+    probe fail with "Backend 'axon' is not in the list of known
+    backends" while the chip was perfectly healthy (bench/tpu_check
+    skip-marked a live TPU).  Filter only the repo path; keep the rest."""
+    pp = env.get("PYTHONPATH")
+    if pp:
+        repo = os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        kept = [p for p in pp.split(os.pathsep)
+                if p and os.path.abspath(p) != repo]
+        if kept:
+            env["PYTHONPATH"] = os.pathsep.join(kept)
+        else:
+            env.pop("PYTHONPATH", None)
+    return env
+
+
 def _probe_once(timeout_s: float):
     """Run the probe subprocess once. Returns (ok, transient): ok when
     the backend initialized; transient when a retry could plausibly
     change the outcome (hang/timeout or an init-time UNAVAILABLE), as
     opposed to the deterministic no-TPU assert."""
-    env = dict(os.environ)
-    # PYTHONPATH=/root/repo breaks the axon plugin on this box; the
-    # probe needs only stock jax, so drop it unconditionally.
-    env.pop("PYTHONPATH", None)
+    env = _sanitized_probe_env(dict(os.environ))
     try:
         r = subprocess.run(
             [sys.executable, "-c", _PROBE],

@@ -120,6 +120,34 @@ def test_held_box_locks_path_specific_exemption(tmp_path, monkeypatch):
     assert held == [str(theirs)]
 
 
+def test_probe_env_keeps_plugin_site_drops_repo_path():
+    """The probe subprocess must drop repo entries from PYTHONPATH (they
+    shadow the axon plugin) but KEEP everything else — the plugin itself
+    is loaded via PYTHONPATH=/root/.axon_site on this box, and dropping
+    the variable wholesale skip-marked a perfectly healthy TPU (round-5
+    regression: bench/tpu_check reported tpu_unavailable with the chip
+    live)."""
+    import os
+
+    from samplernn_pase_tpu.utils import tpu_guard
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(tpu_guard.__file__))))
+    site = "/root/.axon_site"
+
+    env = tpu_guard._sanitized_probe_env(
+        {"PYTHONPATH": os.pathsep.join([site, repo])})
+    assert env["PYTHONPATH"] == site
+
+    # repo-only PYTHONPATH: variable removed entirely (round-4 behavior)
+    env = tpu_guard._sanitized_probe_env({"PYTHONPATH": repo})
+    assert "PYTHONPATH" not in env
+
+    # no PYTHONPATH at all: untouched
+    env = tpu_guard._sanitized_probe_env({"OTHER": "x"})
+    assert env == {"OTHER": "x"}
+
+
 def test_advertise_busy_creates_and_cleans(tmp_path):
     """advertise_busy touches the lock for the duration of the body and
     removes it after — but leaves a PRE-EXISTING file alone (an
